@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+Semantics anchors from the reference (cited so parity is checkable):
+- exact dedup keeps the FIRST occurrence in input order
+  (/root/reference/samples.cpp:476-493) → here: min ``doc_id``.
+- near-dup threshold is a strict ``<`` on fingerprint distance
+  (/root/reference/samples.cpp:616-621); thresholds 60/512 bits (dhash)
+  and 50/256 bits (phash) (/root/reference/samples.h:62-63). The text
+  analogues below keep the same *relative* looseness: SimHash Hamming
+  < ~12% of bits, MinHash verified at Jaccard >= 0.7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling -------------------------------------------------------
+    shingle_width: int = 8          # bytes per char shingle (packs into u64)
+    max_text_bytes: int = 262_144   # cap per-doc bytes fed to fingerprints
+    max_shingles_per_doc: int = 4096  # bottom-k sketch cap for exact verify
+
+    # --- MinHash / LSH ---------------------------------------------------
+    num_hashes: int = 128           # k: signature length
+    lsh_bands: int = 32             # b
+    lsh_rows: int = 4               # r  (k = b*r); J* ~ (1/b)^(1/r) ~ 0.42
+    jaccard_threshold: float = 0.7  # verify threshold (>=, exact Jaccard)
+    minhash_seed: int = 0x5EED_0001
+
+    # --- SimHash ---------------------------------------------------------
+    simhash_bits: int = 256         # 4 x 64-bit words (array<long>)
+    simhash_bands: int = 16         # bit-band blocking for candidate gen
+    # strict '<' like the reference (samples.cpp:618-621); 30/256 ~ 11.7%,
+    # matching the reference's dhash ratio 60/512.
+    simhash_threshold: int = 30
+    simhash_seed: int = 0x5EED_0002
+
+    # --- skew handling ---------------------------------------------------
+    bucket_cap: int = 256           # max docs per LSH bucket before salting
+    salt_factor: int = 8            # salt fan-out for oversized buckets
+    max_pairs_per_bucket: int = 65536  # hard cap; overflow counted+dropped
+
+    # --- quality filter (text analogue of image_filter.cpp:13-82) --------
+    min_text_chars: int = 32        # analogue of min-side 128 px
+    max_text_chars: int = 1_000_000  # analogue of max-side 2048 px
+    lang_whitelist: tuple[str, ...] = ("en", "de", "fr", "es", "zh")
+    min_text_html_ratio: float = 0.05  # analogue of aspect-ratio bound
+
+    # --- substring (content-defined chunking) mode ------------------------
+    cdc_min_span: int = 128         # emit shared spans >= this many bytes
+    cdc_mask_bits: int = 6          # anchor density ~ 1/2^bits
+    cdc_window: int = 16            # rolling q-gram width for anchors
+
+    # --- connected components --------------------------------------------
+    cc_max_iterations: int = 50
+    cc_checkpoint_every: int = 3
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+
+DEFAULT = DedupConfig()

@@ -1,0 +1,136 @@
+"""Connected components over the duplicate-pair graph — the Spark
+analogue of the reference's pair-merge step.
+
+The reference reduces the pair graph with a single-threaded greedy
+max-degree vertex removal (/root/reference/samples.cpp:534-577,
+remove_dups_from_pairs) whose tie-breaks follow unordered_map iteration
+order (nondeterministic). Here the canonical operator is deterministic
+min-label propagation to a fixpoint (the iterative-hash-join analogue of
+union-find): every doc gets ``cluster_id`` = min doc_id reachable in its
+component, the representative (survivor) is that min doc — mirroring
+keep-first. A reference-compatible greedy survivor mode with
+deterministic tie-breaks is provided for parity checks.
+
+Scale notes: each iteration is one shuffle join; iterations needed =
+graph diameter (dup clusters are shallow). ``localCheckpoint`` every few
+iterations truncates lineage; convergence is detected by a changed-label
+count, so no driver-side graph materialization ever happens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from image_dedup_spark.config import DEFAULT, DedupConfig
+
+
+def connected_components(
+    edges: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex appearing in `edges`.
+    cluster_id = min doc_id in the component."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(cfg.cc_max_iterations):
+        nbr = (
+            e.join(labels, e.b == labels.doc_id)
+            .select(F.col("a").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # localCheckpoint each round: the convergence count below is an
+        # action anyway, and truncating lineage keeps later iterations from
+        # re-running the whole chain.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def assign_clusters(
+    docs: DataFrame, edges: DataFrame, cfg: DedupConfig = DEFAULT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every doc gets a cluster_id (its own id when untouched by any edge)
+    and is_representative (deterministic min-doc_id rule)."""
+    comp = connected_components(edges, cfg)
+    return (
+        docs.join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+_GREEDY_SCHEMA = "doc_id long, removed boolean"
+
+
+def _greedy_remove(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference-compatible greedy max-degree removal within one component
+    (/root/reference/samples.cpp:552-574) with DETERMINISTIC tie-break:
+    highest remaining degree, then smallest doc_id (the reference's tie
+    order is unordered_map iteration order — unreproducible, SURVEY §7)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(pdf["src_id"], pdf["dst_id"]):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    removed = []
+    while True:
+        best, best_deg = None, 0
+        for node in sorted(adj):
+            deg = len(adj[node])
+            if deg > best_deg:
+                best, best_deg = node, deg
+        if best is None or best_deg == 0:
+            break
+        for nbr in adj.pop(best):
+            adj[nbr].discard(best)
+        removed.append(best)
+    rows = [(n, True) for n in removed] + [(n, False) for n in adj]
+    return pd.DataFrame(rows, columns=["doc_id", "removed"])
+
+
+def greedy_survivors(
+    edges: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """(doc_id, removed) via per-component greedy max-degree removal.
+    Components are small after near-dup detection, so grouped-map pandas
+    execution is safe (applyInPandas per cluster_id); survivors form an
+    independent set — no two survivors are duplicates of each other,
+    exactly the reference's postcondition."""
+    comp = connected_components(edges, cfg)
+    e = (
+        edges.select("src_id", "dst_id")
+        .join(
+            comp.withColumnRenamed("doc_id", "src_id").withColumnRenamed(
+                "cluster_id", "cid"
+            ),
+            "src_id",
+        )
+    )
+    return e.groupBy("cid").applyInPandas(
+        lambda pdf: _greedy_remove(pdf), schema=_GREEDY_SCHEMA
+    )

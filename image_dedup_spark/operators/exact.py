@@ -1,0 +1,95 @@
+"""Exact-duplicate removal — the engine's hash-aggregate.
+
+Reference semantics (/root/reference/samples.cpp:476-493,
+dedup_by_identical_hash): identical hash ⇒ keep the FIRST occurrence in
+input order, drop the rest. Spark has no implicit row order, so "first"
+is the materialized ``doc_id`` (assigned at ingest), and keep-first is a
+``row_number() over (partition by key order by doc_id)`` — one shuffle
+on the hash key, map-side-combinable, no UDF.
+
+The reference instantiates this for md5 (D9, samples.cpp:342-344) and as
+the cardinality-reduction prelude to every near-dedup pass
+(samples.cpp:235-236, 293-294).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from image_dedup_spark.functions import text as TXT
+
+
+def exact_key(col: Column) -> Column:
+    """Exact-content key: md5 of normalized text (P2 analogue)."""
+    return TXT.doc_fingerprint(col)
+
+
+def with_rank(
+    df: DataFrame, key: str = "exact_key", order: str = "doc_id"
+) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    return df.withColumn("dup_rank", F.row_number().over(w))
+
+
+def survivors(
+    df: DataFrame, key_col: Column | None = None, order: str = "doc_id"
+) -> DataFrame:
+    """Keep-first exact dedup. Adds ``exact_key``; drops later occurrences."""
+    key_col = exact_key(F.col("text")) if key_col is None else key_col
+    keyed = df.withColumn("exact_key", key_col)
+    return (
+        with_rank(keyed, order=order)
+        .filter(F.col("dup_rank") == 1)
+        .drop("dup_rank")
+    )
+
+
+def dropped(
+    df: DataFrame, key_col: Column | None = None, order: str = "doc_id"
+) -> DataFrame:
+    """The complement of ``survivors`` (rows removed by exact dedup)."""
+    key_col = exact_key(F.col("text")) if key_col is None else key_col
+    keyed = df.withColumn("exact_key", key_col)
+    return (
+        with_rank(keyed, order=order)
+        .filter(F.col("dup_rank") > 1)
+        .drop("dup_rank")
+    )
+
+
+def clusters(
+    df: DataFrame, key_col: Column | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id) where cluster_id = min doc_id sharing the key.
+    Deterministic replacement for the reference's input-order grouping."""
+    key_col = exact_key(F.col("text")) if key_col is None else key_col
+    keyed = df.withColumn("exact_key", key_col)
+    w = Window.partitionBy("exact_key")
+    return keyed.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("cluster_id"),
+    )
+
+
+def pairs(
+    df: DataFrame, key_col: Column | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate edges (keeper -> duplicate) for the pair sink
+    (reference .pair file, /root/reference/samples.cpp:504-507)."""
+    key_col = exact_key(F.col("text")) if key_col is None else key_col
+    keyed = df.withColumn("exact_key", key_col)
+    w = Window.partitionBy("exact_key")
+    return (
+        keyed.select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("keeper"),
+        )
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(
+            F.col("keeper").alias("src_id"),
+            F.col(id_col).alias("dst_id"),
+            F.lit(0.0).alias("score"),
+            F.lit("exact").alias("stage"),
+        )
+    )

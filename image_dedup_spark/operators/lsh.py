@@ -1,0 +1,157 @@
+"""MinHash LSH near-duplicate detection — the Spark-first replacement of
+the reference's O(n²) lower-triangle pair scan
+(/root/reference/samples.cpp:580-633, get_dup_pairs_down_triangle).
+
+Design (SURVEY.md §2.4 D2):
+  signature → band decomposition → bucket join → capped pair expansion
+  → cheap prefilter → exact-Jaccard verify.
+
+Skew handling is explicit (north_rule): bucket sizes are computed with a
+window count; buckets over ``cfg.bucket_cap`` do NOT pair all-vs-all —
+they emit a star to the bucket's min doc_id instead. A star preserves
+the connected component (every member still reaches the same cluster)
+while cutting a boilerplate bucket from O(n²) to O(n) pairs; the
+dropped-pair count is reported via :func:`bucket_stats` so recall claims
+stay honest. AQE skew-join splitting covers residual imbalance.
+
+The pair condition ``src_id < dst_id`` mirrors the reference's
+lower-triangle ``i > j`` (samples.cpp:603-633) with deterministic ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from image_dedup_spark.config import DEFAULT, DedupConfig
+
+
+def minhash_band_table(
+    df: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, band_key) — one row per (doc, band); band_key hashes the
+    band id together with the band's signature slice (JVM xxhash64 over
+    the array, no UDF)."""
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda i: F.xxhash64(i, F.slice(F.col("minhash"), i * r + 1, r)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bands).alias("band_key"),
+    )
+
+
+def candidate_pairs(
+    band_table: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """Distinct candidate (src_id < dst_id) pairs from a (doc_id, band_key)
+    table, with the giant-bucket star fallback."""
+    w = Window.partitionBy("band_key")
+    sized = band_table.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+        "bucket_min", F.min("doc_id").over(w)
+    )
+
+    small = sized.filter(F.col("bucket_n") <= cfg.bucket_cap)
+    a = small.select("band_key", F.col("doc_id").alias("src_id"))
+    bb = small.select("band_key", F.col("doc_id").alias("dst_id"))
+    small_pairs = a.join(bb, "band_key").filter(
+        F.col("src_id") < F.col("dst_id")
+    )
+
+    big_pairs = (
+        sized.filter(
+            (F.col("bucket_n") > cfg.bucket_cap)
+            & (F.col("doc_id") != F.col("bucket_min"))
+        )
+        .select(
+            F.col("bucket_min").alias("src_id"),
+            F.col("doc_id").alias("dst_id"),
+        )
+    )
+
+    return (
+        small_pairs.select("src_id", "dst_id")
+        .unionByName(big_pairs)
+        .distinct()
+    )
+
+
+def bucket_stats(band_table: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Accounting for capped buckets: per-band-key size, whether it was
+    starred, and the number of all-vs-all pairs forgone (honesty metric)."""
+    g = band_table.groupBy("band_key").agg(F.count("*").alias("bucket_n"))
+    starred = F.col("bucket_n") > cfg.bucket_cap
+    full = (F.col("bucket_n") * (F.col("bucket_n") - 1) / 2).cast("long")
+    emitted = F.when(starred, F.col("bucket_n") - 1).otherwise(full)
+    return g.select(
+        "band_key",
+        "bucket_n",
+        starred.alias("starred"),
+        (full - emitted).alias("pairs_dropped"),
+    )
+
+
+def _sig_jaccard_estimate(a: Column, b: Column, k: int) -> Column:
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(k)
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    fingerprints: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    mode: str = "exact",
+) -> DataFrame:
+    """Verify candidate pairs; keep those with Jaccard >= threshold.
+
+    mode='exact'   : intersection of stored shingle sketches
+                     (``array_intersect``, JVM-side) — the analogue of the
+                     reference's exact Hamming verify (samples.cpp:616-621).
+    mode='estimate': fraction of equal minhash components (cheaper at
+                     scale; no sketch shuffle).
+
+    The cheap prefilter before the exact verify is the analogue of the
+    reference's popcount prefilter (samples.cpp:584-585): J >= t requires
+    min(|A|,|B|)/max(|A|,|B|) >= t, so wildly different shingle counts
+    are rejected before touching the arrays.
+    """
+    cols = ["doc_id", "n_shingles"] + (
+        ["shingles"] if mode == "exact" else ["minhash"]
+    )
+    fp = fingerprints.select(*cols)
+    left = fp.select([F.col(c).alias(f"a_{c}") for c in fp.columns])
+    right = fp.select([F.col(c).alias(f"b_{c}") for c in fp.columns])
+    j = (
+        pairs.join(left, pairs.src_id == left.a_doc_id)
+        .join(right, pairs.dst_id == right.b_doc_id)
+    )
+    prefilter = (
+        F.least("a_n_shingles", "b_n_shingles")
+        >= F.greatest("a_n_shingles", "b_n_shingles") * cfg.jaccard_threshold
+    )
+    j = j.filter(prefilter)
+    if mode == "exact":
+        inter = F.size(F.array_intersect("a_shingles", "b_shingles"))
+        union = F.col("a_n_shingles") + F.col("b_n_shingles") - inter
+        score = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    else:
+        score = _sig_jaccard_estimate(
+            F.col("a_minhash"), F.col("b_minhash"), cfg.num_hashes
+        )
+    return (
+        j.withColumn("score", score)
+        .filter(F.col("score") >= cfg.jaccard_threshold)
+        .select("src_id", "dst_id", "score")
+        .withColumn("stage", F.lit("minhash"))
+    )
+
+
+def minhash_dup_pairs(
+    fingerprints: DataFrame, cfg: DedupConfig = DEFAULT, mode: str = "exact"
+) -> DataFrame:
+    """signature table -> verified duplicate-pair edges (D2+F4 analogue)."""
+    bands = minhash_band_table(fingerprints, cfg)
+    cands = candidate_pairs(bands, cfg)
+    return verify_pairs(cands, fingerprints, cfg, mode=mode)

@@ -1,0 +1,157 @@
+"""The flagship pipeline — the engine's ``pipeline`` subcommand.
+
+Reference flow (/root/reference/image_deduper.cpp:293-359,
+process_pipeline): filter → md5 exact dedup → phash near-dedup → dhash
+near-dedup, each stage materialized with per-stage timing. Engine flow:
+
+  quality filter (+quarantine) → fingerprints (one Arrow pass) →
+  exact dedup (keep-first) → MinHash/LSH pairs → SimHash pairs →
+  [optional substring pairs] → connected components → clusters +
+  survivors, with per-stage parquet checkpoints, per-partition lineage
+  and a metrics table. Any stage resumes from its checkpoint if present
+  (idempotent re-run — north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from image_dedup_spark.config import DEFAULT, DedupConfig
+from image_dedup_spark.functions.fingerprints import make_fingerprint_udf
+from image_dedup_spark.operators import (
+    components as CC,
+)
+from image_dedup_spark.operators import (
+    exact as EX,
+)
+from image_dedup_spark.operators import (
+    lsh as LSH,
+)
+from image_dedup_spark.operators import (
+    quality as Q,
+)
+from image_dedup_spark.operators import (
+    simhash_block as SB,
+)
+from image_dedup_spark.operators import (
+    substring as SUB,
+)
+from image_dedup_spark.sources import io as IO
+
+
+@dataclass
+class PipelineResult:
+    survivors: DataFrame
+    clusters: DataFrame
+    pairs: DataFrame
+    quarantine: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (
+                    m["stage"],
+                    m["rows_out"],
+                    float(m["seconds"]),
+                    m["resumed"],
+                )
+                for m in self.metrics
+            ],
+            "stage string, rows_out long, seconds double, resumed boolean",
+        )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    checkpoint_dir: str | None = None,
+    include_substring: bool = False,
+    verify_mode: str = "exact",
+) -> PipelineResult:
+    metrics: list[dict] = []
+
+    def stage(name: str, build) -> DataFrame:
+        t0 = time.monotonic()
+        if IO.stage_exists(checkpoint_dir, name):
+            df = IO.read_stage(spark, checkpoint_dir, name)
+            metrics.append(
+                {"stage": name, "rows_out": df.count(),
+                 "seconds": time.monotonic() - t0, "resumed": True}
+            )
+            return df
+        df = build()
+        if checkpoint_dir:
+            IO.write_stage(df, checkpoint_dir, name)
+            IO.write_stage(
+                IO.partition_lineage(df, name), checkpoint_dir, f"_lineage/{name}"
+            )
+            df = IO.read_stage(spark, checkpoint_dir, name)
+            n = df.count()
+        else:
+            df = df.localCheckpoint(eager=True)
+            n = df.count()
+        metrics.append(
+            {"stage": name, "rows_out": n,
+             "seconds": time.monotonic() - t0, "resumed": False}
+        )
+        return df
+
+    filtered = stage("01_filtered", lambda: Q.keep(pages, cfg))
+    quarantine = stage("01_quarantine", lambda: Q.quarantine(pages, cfg))
+
+    fp_udf = make_fingerprint_udf(cfg)
+    fingerprints = stage(
+        "02_fingerprints",
+        lambda: filtered.select(
+            "doc_id", "url", "text", fp_udf(F.col("text")).alias("fp")
+        ).select("doc_id", "url", "text", "fp.*"),
+    )
+
+    exact_pairs = stage("03_exact_pairs", lambda: EX.pairs(fingerprints))
+    exact_survivors = stage(
+        "03_exact_survivors", lambda: EX.survivors(fingerprints)
+    )
+
+    minhash_pairs = stage(
+        "04_minhash_pairs",
+        lambda: LSH.minhash_dup_pairs(exact_survivors, cfg, mode=verify_mode),
+    )
+    simhash_pairs = stage(
+        "05_simhash_pairs", lambda: SB.simhash_dup_pairs(exact_survivors, cfg)
+    )
+
+    all_pairs = [exact_pairs, minhash_pairs, simhash_pairs]
+    if include_substring:
+        sub_pairs = stage(
+            "06_substring_pairs",
+            lambda: SUB.substring_dup_pairs(exact_survivors, cfg),
+        )
+        all_pairs.append(sub_pairs)
+
+    pairs = stage("07_all_pairs", lambda: reduce(DataFrame.unionByName, all_pairs))
+
+    clusters = stage(
+        "08_clusters",
+        lambda: CC.assign_clusters(
+            fingerprints.select("doc_id", "url"), pairs, cfg
+        ),
+    )
+    survivors = stage(
+        "09_survivors",
+        lambda: clusters.filter(F.col("is_representative")).select("doc_id", "url"),
+    )
+
+    return PipelineResult(
+        survivors=survivors,
+        clusters=clusters,
+        pairs=pairs,
+        quarantine=quarantine,
+        metrics=metrics,
+    )
