@@ -1,38 +1,754 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedup pipeline on sf0.001.
+``queries()`` exposes every SURVEY.md §2 operator as a (spark, sf_dir)
+callable; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for the
+SQL-expressible ones (the rest get the driver's rows-only check).
+
+Cross-engine conventions (kept in lockstep between the two sides):
+- normalized text  = trim(regexp_replace(lower(text), '\\s+', ' '))
+- 60-bit hash      = CAST('0x'||substring(md5(s||':<seed>'),1,15) AS BIGINT)
+  (see image_dedup_spark.functions.hashing.md5_hash64 / duckdb_md5_hash64)
+- char-8 shingles  = substrings at positions 1..len-7
+- money sums       = DECIMAL(18,2) so both engines are exact
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from image_dedup_spark.config import DEFAULT
+from image_dedup_spark.corpus import documents_as_pages
+from image_dedup_spark.functions import text as TXT
+from image_dedup_spark.functions.fingerprints import make_fingerprint_udf
+from image_dedup_spark.functions.hashing import duckdb_md5_hash64, md5_hash64
+from image_dedup_spark.operators import bruteforce as BF
+from image_dedup_spark.operators import components as CC
+from image_dedup_spark.operators import exact as EX
+from image_dedup_spark.operators import lsh as LSH
+from image_dedup_spark.operators import similarity as SIM
+from image_dedup_spark.operators import simhash_block as SB
+from image_dedup_spark.operators import substring as SUB
+from image_dedup_spark.plans.pipeline import run_pipeline
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_PREFIX_SQL = "substring(text, 1, 32)"
+_SUFFIX_SQL = "substring(text, greatest(length(text) - 31, 1))"
+_SHINGLES_SQL = (
+    "unnest(list_transform(range(1, greatest(length(text) - 6, 1)),"
+    " i -> substring(text, i::int, 8)))"
+)
+_WINDOWS_SQL = (
+    "unnest(list_transform(range(1, greatest(length(text) - 22, 2), 8),"
+    " i -> substring(text, i::int, 24)))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _prefix(col: str = "text") -> F.Column:
+    return F.substring(F.col(col), 1, 32)
+
+
+def _suffix() -> F.Column:
+    return F.expr("substring(text, greatest(length(text) - 31, 1))")
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    udf = make_fingerprint_udf(DEFAULT)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", udf(F.col("text")).alias("fp"))
+        .select("doc_id", "text", "fp.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline smoke
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline (filter → fingerprints → exact →
+    MinHash LSH → SimHash → connected components) on sf0.001 documents."""
+    pages = documents_as_pages(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, pages, include_substring=True)
+    return res.clusters.select("doc_id", "url", "cluster_id", "is_representative")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_survivors(spark, sf_dir):
+    """D1/D9: exact-hash keep-first dedup (samples.cpp:476-493)."""
+    return EX.survivors(_docs(spark, sf_dir)).select("doc_id", "exact_key")
+
+
+SQL_EXACT_DEDUP = f"""
+WITH k AS (SELECT doc_id, md5({_NORM_SQL}) AS exact_key FROM documents),
+r AS (SELECT doc_id, exact_key,
+             row_number() OVER (PARTITION BY exact_key ORDER BY doc_id) rn
+      FROM k)
+SELECT doc_id, exact_key FROM r WHERE rn = 1
+"""
+
+
+def q_prefix_dup_pairs(spark, sf_dir):
+    """D2 small-n compat: equality theta-join on a 32-char prefix key."""
+    d = _docs(spark, sf_dir).select("doc_id", _prefix().alias("k"))
+    a = d.select(F.col("doc_id").alias("src_id"), "k")
+    b = d.select(F.col("doc_id").alias("dst_id"), "k")
+    return a.join(b, "k").filter(F.col("src_id") < F.col("dst_id")).select(
+        "src_id", "dst_id"
+    )
+
+
+SQL_PREFIX_PAIRS = f"""
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+FROM documents a JOIN documents b
+  ON {_PREFIX_SQL.replace('text', 'a.text')} = {_PREFIX_SQL.replace('text', 'b.text')}
+ AND a.doc_id < b.doc_id
+"""
+
+
+def q_prefix_clusters(spark, sf_dir):
+    """D1 grouping: cluster_id = min doc_id sharing the prefix key."""
+    return EX.clusters(_docs(spark, sf_dir), key_col=_prefix())
+
+
+SQL_PREFIX_CLUSTERS = f"""
+SELECT doc_id, min(doc_id) OVER (PARTITION BY {_PREFIX_SQL}) AS cluster_id
+FROM documents
+"""
+
+
+def q_prefix_keep_first(spark, sf_dir):
+    """D1 keep-first on the prefix key."""
+    return EX.survivors(_docs(spark, sf_dir), key_col=_prefix()).select("doc_id")
+
+
+SQL_PREFIX_KEEP_FIRST = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY {_PREFIX_SQL} ORDER BY doc_id) rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """F1/F2 analogue: hardcoded quality predicates + reject reasons."""
+    d = _docs(spark, sf_dir)
+    reason = (
+        F.when(F.length("text") < 200, F.lit("text_too_short"))
+        .when(~F.col("lang").isin("en", "de", "fr", "es"), F.lit("bad_lang"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select("doc_id", reason.alias("reject_reason")).filter(
+        F.col("reject_reason").isNotNull()
+    )
+
+
+SQL_QUALITY_FILTER = """
+SELECT doc_id,
+       CASE WHEN length(text) < 200 THEN 'text_too_short'
+            WHEN lang NOT IN ('en','de','fr','es') THEN 'bad_lang'
+       END AS reject_reason
+FROM documents
+WHERE length(text) < 200 OR lang NOT IN ('en','de','fr','es')
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token counting per doc."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(text, '\\s+'))) AS n_distinct_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_lang_stats(spark, sf_dir):
+    """Aggregation surface: per-language corpus stats."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_LANG_STATS = """
+SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+       min(doc_id) AS first_doc
+FROM documents GROUP BY lang
+"""
+
+
+def q_stopword_stats(spark, sf_dir):
+    """Language-ID heuristic surface: stopword hits per doc."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    hits = F.size(
+        F.filter(
+            toks,
+            lambda w: w.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        hits.alias("sw_hits"),
+        n.alias("n_tokens"),
+        (hits * 1.0 / n >= 0.08).alias("looks_english"),
+    )
+
+
+SQL_STOPWORD_STATS = """
+SELECT doc_id,
+  len(list_filter(string_split_regex(lower(text), '\\s+'),
+      w -> w IN ('the','and','of','to','a','in','is'))) AS sw_hits,
+  len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+  (len(list_filter(string_split_regex(lower(text), '\\s+'),
+      w -> w IN ('the','and','of','to','a','in','is'))) * 1.0
+   / len(string_split_regex(lower(text), '\\s+'))) >= 0.08 AS looks_english
+FROM documents
+"""
+
+
+def q_shingle_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (brute force, small-n oracle
+    for the MinHash family)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TXT.char_shingles(F.col("text"), 8))).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("src_id"), "s")
+    b = sh.select(F.col("doc_id").alias("dst_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("c"))
+    )
+    j = (
+        inter.join(sz.withColumnRenamed("doc_id", "src_id"), "src_id")
+        .withColumnRenamed("n", "na")
+        .join(sz.withColumnRenamed("doc_id", "dst_id"), "dst_id")
+        .withColumnRenamed("n", "nb")
+        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jac") >= 0.4)
+    )
+    return j.select("src_id", "dst_id", F.round("jac", 6).alias("jac"))
+
+
+SQL_SHINGLE_JACCARD = f"""
+WITH sh AS (SELECT DISTINCT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id src_id, b.doc_id dst_id, count(*) c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT src_id, dst_id,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jac
+FROM inter
+JOIN sz sa ON src_id = sa.doc_id
+JOIN sz sb ON dst_id = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
+"""
+
+
+_MINHASH_SEEDS = list(range(8))
+
+
+def q_minhash8(spark, sf_dir):
+    """P4 analogue, SQL-checkable variant: 8-permutation MinHash
+    signature via the cross-engine md5 hash."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(TXT.char_shingles(F.col("text"), 8)).alias("s")
+    )
+    aggs = [
+        F.min(md5_hash64(F.col("s"), seed=s)).alias(f"h{s}")
+        for s in _MINHASH_SEEDS
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH8 = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents)
+SELECT doc_id,
+  {', '.join(f"min({duckdb_md5_hash64('s', s)}) AS h{s}" for s in _MINHASH_SEEDS)}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    """D2 LSH banding, SQL-checkable variant: candidate pairs agreeing on
+    band (h0..h3) or band (h4..h7)."""
+    sig = q_minhash8(spark, sf_dir)
+    b1 = sig.select(
+        "doc_id", F.concat_ws(",", "h0", "h1", "h2", "h3").alias("band")
+    )
+    b2 = sig.select(
+        "doc_id", F.concat_ws(",", "h4", "h5", "h6", "h7").alias("band")
+    )
+    out = None
+    for t in (b1, b2):
+        a = t.select(F.col("doc_id").alias("src_id"), "band")
+        b = t.select(F.col("doc_id").alias("dst_id"), "band")
+        p = a.join(b, "band").filter(F.col("src_id") < F.col("dst_id")).select(
+            "src_id", "dst_id"
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
+SQL_MINHASH_BAND_PAIRS = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+sig AS (SELECT doc_id,
+  {', '.join(f"min({duckdb_md5_hash64('s', s)}) AS h{s}" for s in _MINHASH_SEEDS)}
+  FROM sh GROUP BY doc_id),
+b AS (SELECT doc_id, concat_ws(',', h0, h1, h2, h3) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, concat_ws(',', h4, h5, h6, h7) AS band FROM sig)
+SELECT DISTINCT a.doc_id AS src_id, b2.doc_id AS dst_id
+FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+"""
+
+
+_SIMHASH_SEED = 99
+
+
+def q_simhash16(spark, sf_dir):
+    """P3 analogue, SQL-checkable variant: 16-bit SimHash from the
+    cross-engine md5 hash bits (sign of per-bit sums)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(TXT.char_shingles(F.col("text"), 8)).alias("s")
+    )
+    h = md5_hash64(F.col("s"), seed=_SIMHASH_SEED)
+    aggs = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(16)
+    ] + [F.count("*").alias("n")]
+    g = sh.groupBy("doc_id").agg(*aggs)
+    word = None
+    for b in range(16):
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        word = term if word is None else word + term
+    return g.select("doc_id", word.cast("long").alias("simhash16"))
+
+
+SQL_SIMHASH16 = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+h AS (SELECT doc_id, {duckdb_md5_hash64('s', _SIMHASH_SEED)} AS hv FROM sh),
+g AS (SELECT doc_id, count(*) n,
+      {', '.join(f'sum((hv >> {b}) & 1) c{b}' for b in range(16))}
+      FROM h GROUP BY doc_id)
+SELECT doc_id,
+  ({' + '.join(f'(CASE WHEN c{b}*2 > n THEN {1 << b} ELSE 0 END)' for b in range(16))})::BIGINT
+  AS simhash16
+FROM g
+"""
+
+
+def q_simhash16_pairs(spark, sf_dir):
+    """P7 + D2: Hamming-threshold pairs over the SQL-checkable SimHash
+    (strict '<' like the reference, samples.cpp:618-621)."""
+    sig = q_simhash16(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("src_id"), F.col("simhash16").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("dst_id"), F.col("simhash16").alias("hb"))
+    return (
+        a.join(b, F.col("src_id") < F.col("dst_id"))
+        .withColumn("dist", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("dist") < 3)
+        .select("src_id", "dst_id", "dist")
+    )
+
+
+SQL_SIMHASH16_PAIRS = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+h AS (SELECT doc_id, {duckdb_md5_hash64('s', _SIMHASH_SEED)} AS hv FROM sh),
+g AS (SELECT doc_id, count(*) n,
+      {', '.join(f'sum((hv >> {b}) & 1) c{b}' for b in range(16))}
+      FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id,
+  ({' + '.join(f'(CASE WHEN c{b}*2 > n THEN {1 << b} ELSE 0 END)' for b in range(16))})::BIGINT
+  AS sh16 FROM g)
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+       bit_count(xor(a.sh16, b.sh16)) AS dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh16, b.sh16)) < 3
+"""
+
+
+def q_remain_anti_join(spark, sf_dir):
+    """D8 'remain': src docs (sources src0-src4) with no prefix-key match
+    in the gallery (src5+) — LEFT ANTI existence semantics
+    (samples.cpp:254-260, 680-683)."""
+    d = _docs(spark, sf_dir)
+    srcs = [f"src{i}" for i in range(5)]
+    src = d.filter(F.col("source").isin(srcs)).withColumn("k", _prefix())
+    gal = d.filter(~F.col("source").isin(srcs)).select(_prefix().alias("k"))
+    return src.join(gal, "k", "left_anti").select("doc_id")
+
+
+SQL_REMAIN = f"""
+SELECT a.doc_id FROM documents a
+WHERE a.source IN ('src0','src1','src2','src3','src4')
+  AND NOT EXISTS (
+    SELECT 1 FROM documents b
+    WHERE b.source NOT IN ('src0','src1','src2','src3','src4')
+      AND {_PREFIX_SQL.replace('text', 'a.text')} = {_PREFIX_SQL.replace('text', 'b.text')})
+"""
+
+
+def q_merge_union(spark, sf_dir):
+    """D7 'merge': accumulated half ∪ (incoming half minus prefix dups of
+    the accumulated half) — earlier copies win (samples.cpp:244-251)."""
+    d = _docs(spark, sf_dir)
+    srcs = [f"src{i}" for i in range(10)]
+    acc = d.filter(F.col("source").isin(srcs))
+    inc = d.filter(~F.col("source").isin(srcs))
+    inc_kept = inc.withColumn("k", _prefix()).join(
+        acc.select(_prefix().alias("k")), "k", "left_anti"
+    )
+    return acc.select("doc_id").unionByName(inc_kept.select("doc_id"))
+
+
+SQL_MERGE_UNION = f"""
+SELECT doc_id FROM documents
+WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+UNION ALL
+SELECT a.doc_id FROM documents a
+WHERE a.source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+  AND NOT EXISTS (
+    SELECT 1 FROM documents b
+    WHERE b.source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+      AND {_PREFIX_SQL.replace('text', 'a.text')} = {_PREFIX_SQL.replace('text', 'b.text')})
+"""
+
+
+def q_top_bigrams(spark, sf_dir):
+    """Text analysis: corpus-wide top-20 word bigrams (sort/limit/top-k
+    surface; deterministic tie-break)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+SQL_TOP_BIGRAMS = """
+WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(words)),
+             i -> words[i] || ' ' || words[i+1])) AS bigram FROM w)
+SELECT bigram, count(*) AS cnt FROM b
+GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """P2/P8: exact-content fingerprint of normalized text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+def q_connected_components(spark, sf_dir):
+    """D3 replacement: connected components (min-label propagation) over
+    the union of prefix-key and suffix-key duplicate edges."""
+    d = _docs(spark, sf_dir)
+    pre = d.select("doc_id", _prefix().alias("k"))
+    suf = d.filter(F.length("text") >= 32).select("doc_id", _suffix().alias("k"))
+    edges = None
+    for t in (pre, suf):
+        a = t.select(F.col("doc_id").alias("src_id"), "k")
+        b = t.select(F.col("doc_id").alias("dst_id"), "k")
+        p = a.join(b, "k").filter(F.col("src_id") < F.col("dst_id")).select(
+            "src_id", "dst_id"
+        )
+        edges = p if edges is None else edges.unionByName(p)
+    return CC.connected_components(edges.distinct())
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE
+p AS (SELECT a.doc_id sa, b.doc_id sb FROM documents a JOIN documents b
+      ON {_PREFIX_SQL.replace('text', 'a.text')} = {_PREFIX_SQL.replace('text', 'b.text')}
+      AND a.doc_id < b.doc_id),
+sfx AS (SELECT a.doc_id sa, b.doc_id sb FROM documents a JOIN documents b
+      ON {_SUFFIX_SQL.replace('text', 'a.text')} = {_SUFFIX_SQL.replace('text', 'b.text')}
+      AND length(a.text) >= 32 AND length(b.text) >= 32 AND a.doc_id < b.doc_id),
+e AS (SELECT sa a, sb b FROM p UNION SELECT sb, sa FROM p
+      UNION SELECT sa, sb FROM sfx UNION SELECT sb, sa FROM sfx),
+n AS (SELECT DISTINCT a FROM e),
+reach(s, t) AS (SELECT a, a FROM n
+                UNION
+                SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a)
+SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+"""
+
+
+def q_substring_window_pairs(spark, sf_dir):
+    """Substring-dedup, SQL-checkable variant: doc pairs sharing a 24-char
+    window sampled at stride 8."""
+    d = _docs(spark, sf_dir)
+    n = F.greatest(F.length("text") - F.lit(22), F.lit(2))
+    wins = F.transform(
+        F.sequence(F.lit(1), n - 1, F.lit(8)),
+        lambda i: F.substring(F.col("text"), i, 24),
+    )
+    w = d.select("doc_id", F.explode(wins).alias("win")).distinct()
+    a = w.select(F.col("doc_id").alias("src_id"), "win")
+    b = w.select(F.col("doc_id").alias("dst_id"), "win")
+    return (
+        a.join(b, "win")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+
+
+SQL_SUBSTRING_WINDOWS = f"""
+WITH w AS (SELECT DISTINCT doc_id, {_WINDOWS_SQL} AS win FROM documents)
+SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Similarity search baseline: brute-force cosine top-3 neighbours."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return SIM.brute_force_topk(e, k=3).select(
+        "src_id", "dst_id", "rank", F.round("cos", 4).alias("cos")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+p AS (SELECT a.vec_id src_id, b.vec_id dst_id,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+r AS (SELECT src_id, dst_id, cos,
+             row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id ASC) AS rank
+      FROM p)
+SELECT src_id, dst_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 3
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Windowed aggregation over the events stream table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """Columnar-scan/agg surface (TPC-H Q1 style) on lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(spark, sf_dir):
+    """Broadcast-join surface: orders × customer rollup."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- production (non-SQL-expressible) paths: rows-only driver check --------
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """D2 production path: 128-hash MinHash + 32x4 LSH + exact-Jaccard
+    verify (Arrow UDF fingerprints)."""
+    fp = _fingerprints(spark, sf_dir)
+    return LSH.minhash_dup_pairs(fp, DEFAULT, mode="exact")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """D2 production path, SimHash family: 256-bit fingerprint, 32-band
+    blocking, exact Hamming verify."""
+    fp = _fingerprints(spark, sf_dir)
+    return SB.simhash_dup_pairs(fp, DEFAULT)
+
+
+def q_bruteforce_jaccard_pairs(spark, sf_dir):
+    """Reference-exact O(n²) oracle path (samples.cpp:580-633)."""
+    fp = _fingerprints(spark, sf_dir)
+    return BF.exact_jaccard_pairs(fp, DEFAULT)
+
+
+def q_cdc_substring_pairs(spark, sf_dir):
+    """Substring mode production path: content-defined chunking."""
+    return SUB.substring_dup_pairs(_docs(spark, sf_dir), DEFAULT)
+
+
+def q_pipeline_clusters(spark, sf_dir):
+    """O2 flagship pipeline end-to-end on the documents table."""
+    pages = documents_as_pages(spark, sf_dir)
+    res = run_pipeline(spark, pages, include_substring=False)
+    return res.clusters.select("doc_id", "cluster_id", "is_representative")
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """ANN production path: hyperplane-LSH bucketed cosine top-k."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(e.select("embedding").first()[0])
+    return SIM.lsh_topk(e, dim=dim, k=3, n_planes=6, n_tables=6).select(
+        "src_id", "dst_id", "rank", F.round("cos", 4).alias("cos")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup_survivors": q_exact_dedup_survivors,
+        "prefix_dup_pairs": q_prefix_dup_pairs,
+        "prefix_clusters": q_prefix_clusters,
+        "prefix_keep_first": q_prefix_keep_first,
+        "quality_filter": q_quality_filter,
+        "token_stats": q_token_stats,
+        "lang_stats": q_lang_stats,
+        "stopword_stats": q_stopword_stats,
+        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "minhash8": q_minhash8,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "simhash16": q_simhash16,
+        "simhash16_pairs": q_simhash16_pairs,
+        "remain_anti_join": q_remain_anti_join,
+        "merge_union": q_merge_union,
+        "top_bigrams": q_top_bigrams,
+        "doc_fingerprint": q_doc_fingerprint,
+        "connected_components": q_connected_components,
+        "substring_window_pairs": q_substring_window_pairs,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_segment": q_orders_by_segment,
+        # production Arrow-UDF paths (rows-only check)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "bruteforce_jaccard_pairs": q_bruteforce_jaccard_pairs,
+        "cdc_substring_pairs": q_cdc_substring_pairs,
+        "pipeline_clusters": q_pipeline_clusters,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_survivors": SQL_EXACT_DEDUP,
+        "prefix_dup_pairs": SQL_PREFIX_PAIRS,
+        "prefix_clusters": SQL_PREFIX_CLUSTERS,
+        "prefix_keep_first": SQL_PREFIX_KEEP_FIRST,
+        "quality_filter": SQL_QUALITY_FILTER,
+        "token_stats": SQL_TOKEN_STATS,
+        "lang_stats": SQL_LANG_STATS,
+        "stopword_stats": SQL_STOPWORD_STATS,
+        "shingle_jaccard_pairs": SQL_SHINGLE_JACCARD,
+        "minhash8": SQL_MINHASH8,
+        "minhash_band_pairs": SQL_MINHASH_BAND_PAIRS,
+        "simhash16": SQL_SIMHASH16,
+        "simhash16_pairs": SQL_SIMHASH16_PAIRS,
+        "remain_anti_join": SQL_REMAIN,
+        "merge_union": SQL_MERGE_UNION,
+        "top_bigrams": SQL_TOP_BIGRAMS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "connected_components": SQL_CONNECTED_COMPONENTS,
+        "substring_window_pairs": SQL_SUBSTRING_WINDOWS,
+        "embedding_cosine_topk": SQL_EMBEDDING_TOPK,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "lineitem_pricing": SQL_LINEITEM_PRICING,
+        "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    }

@@ -1,0 +1,152 @@
+"""Benchmark harness — headline dedup queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "docs_per_sec": ...}
+
+The dedup engine's real work unit is documents, and the driver's
+documents table is small (5k rows at sf0.1), so the bench corpus is a
+deterministic in-Spark expansion of that table (exact copies + seeded
+near-variants; image_dedup_spark.corpus.expanded_documents) — the same
+input at any parallelism level, which is what the N-vs-4N scaling
+protocol (BASELINE.md) requires. Expansion factor:
+$SPARK_GRAFT_BENCH_EXPANSION (default 40 → ~200k docs at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from image_dedup_spark.config import DEFAULT
+from image_dedup_spark.corpus import expanded_documents
+from image_dedup_spark.functions.fingerprints import make_fingerprint_udf
+from image_dedup_spark.operators import components as CC
+from image_dedup_spark.operators import exact as EX
+from image_dedup_spark.operators import lsh as LSH
+from image_dedup_spark.operators import similarity as SIM
+from image_dedup_spark.operators import simhash_block as SB
+from image_dedup_spark.operators import substring as SUB
+from image_dedup_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(app_name="image_dedup_bench")
+
+    workdir = tempfile.mkdtemp(prefix="dedup_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # materialize the deterministic bench corpus (not part of the timings)
+    corpus_path = os.path.join(workdir, "corpus")
+    expanded_documents(spark, sf_dir, expansion).write.mode("overwrite").parquet(
+        corpus_path
+    )
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+
+    # --- headline dedup stages (timed end-to-end over the corpus) --------
+    fp_path = os.path.join(workdir, "fp")
+    fp_udf = make_fingerprint_udf(DEFAULT)
+
+    def _fingerprint():
+        (
+            docs.select("doc_id", "url", "text", fp_udf(F.col("text")).alias("fp"))
+            .select("doc_id", "url", "text", "fp.*")
+            .write.mode("overwrite")
+            .parquet(fp_path)
+        )
+        return None
+
+    timed("q_fingerprint", _fingerprint)
+    fp = spark.read.parquet(fp_path)
+
+    exact_surv = timed(
+        "q_exact_dedup",
+        lambda: EX.survivors(fp).localCheckpoint(eager=True),
+    )
+    minhash_pairs = timed(
+        "q_minhash_lsh_pairs",
+        lambda: LSH.minhash_dup_pairs(exact_surv, DEFAULT, mode="estimate")
+        .localCheckpoint(eager=True),
+    )
+    simhash_pairs = timed(
+        "q_simhash_pairs",
+        lambda: SB.simhash_dup_pairs(exact_surv, DEFAULT).localCheckpoint(eager=True),
+    )
+    exact_pairs = EX.pairs(fp)
+    all_pairs = exact_pairs.unionByName(minhash_pairs).unionByName(simhash_pairs)
+    clusters = timed(
+        "q_connected_components",
+        lambda: CC.assign_clusters(
+            fp.select("doc_id"), all_pairs, DEFAULT
+        ).localCheckpoint(eager=True),
+    )
+    n_clusters = clusters.filter(F.col("is_representative")).count()
+
+    # --- secondary operators on the raw sf tables ------------------------
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "q_cdc_substring_pairs",
+        lambda: SUB.substring_dup_pairs(raw_docs, DEFAULT).count(),
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(2000)
+    )
+    dim = len(emb.select("embedding").first()[0])
+    timed(
+        "q_embedding_lsh_topk",
+        lambda: SIM.lsh_topk(emb, dim=dim, k=5, n_planes=8, n_tables=4).count(),
+    )
+
+    dedup_sec = sum(
+        timings[k]
+        for k in (
+            "q_fingerprint",
+            "q_exact_dedup",
+            "q_minhash_lsh_pairs",
+            "q_simhash_pairs",
+            "q_connected_components",
+        )
+    )
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_dedup_bench",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "n_clusters": n_clusters,
+                "dedup_pipeline_sec": round(dedup_sec, 3),
+                "docs_per_sec": round(n_docs / dedup_sec, 1),
+                "cores": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,12 @@ class DedupConfig:
 
     # --- SimHash ---------------------------------------------------------
     simhash_bits: int = 256         # 4 x 64-bit words (array<long>)
-    simhash_bands: int = 16         # bit-band blocking for candidate gen
+    # 32 bands of 8 bits: since simhash_threshold (30) < simhash_bands (32),
+    # the pigeonhole principle GUARANTEES every pair under the Hamming
+    # threshold agrees on >= 1 band — deterministic recall 1.0. The price
+    # is denser buckets (8-bit band values); the bucket-cap star fallback
+    # bounds that at scale.
+    simhash_bands: int = 32
     # strict '<' like the reference (samples.cpp:618-621); 30/256 ~ 11.7%,
     # matching the reference's dhash ratio 60/512.
     simhash_threshold: int = 30

@@ -55,6 +55,22 @@ def connected_components(
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
+        # pointer-jumping shortcut: label := label(label). A neighbor hop
+        # alone moves the frontier one edge per round (O(diameter) on
+        # chains); composing it with this doubling step converges in
+        # O(log n) rounds — the large-star/small-star idea.
+        parents = new_labels.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        new_labels = (
+            new_labels.join(
+                parents, new_labels.cluster_id == parents.p_id, "left"
+            )
+            .select(
+                "doc_id",
+                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+            )
+        )
         # localCheckpoint each round: the convergence count below is an
         # action anyway, and truncating lineage keeps later iterations from
         # re-running the whole chain.

@@ -1,0 +1,76 @@
+"""Scaling-evidence protocol (BASELINE.md): run the identical bench job
+on the identical input at two parallelism levels — N=local[8] and
+4N=local[32] — and write throughput + scaling efficiency to
+BENCH/BASELINE.md.
+
+This is the sandbox substitute for the north_rule's two-cluster-size
+criterion: same `spark-submit`-able job, same deterministic input,
+shuffle partitions scaled with cores (handled inside session.get_spark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cores: int, expansion: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_BENCH_EXPANSION=str(expansion),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
+    n, four_n = 8, 32
+    r_n = run_bench(n, expansion, sf_dir)
+    r_4n = run_bench(four_n, expansion, sf_dir)
+    tp_n = r_n["docs_per_sec"]
+    tp_4n = r_4n["docs_per_sec"]
+    eff = tp_4n / (4 * tp_n)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence ({stamp})
+
+Protocol (BASELINE.md): identical job, identical deterministic input
+({r_n['n_docs']} docs = sf{r_n['sf']} documents × {expansion} expansion),
+two local parallelism levels, shuffle partitions scaled with cores.
+
+| level | cores | dedup pipeline sec | docs/sec |
+|---|---|---|---|
+| N  | {n}  | {r_n['dedup_pipeline_sec']} | {tp_n} |
+| 4N | {four_n} | {r_4n['dedup_pipeline_sec']} | {tp_4n} |
+
+**Scaling efficiency = throughput(4N) / (4 × throughput(N)) =
+{eff:.3f}** (target ≥ 0.8 ⇒ {"PASS" if eff >= 0.8 else "FAIL"})
+
+Raw N:  `{json.dumps(r_n)}`
+
+Raw 4N: `{json.dumps(r_4n)}`
+"""
+        )
+    print(json.dumps({"eff": eff, "tp_n": tp_n, "tp_4n": tp_4n}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Connected components + greedy survivors vs pure-Python oracles
+(reference greedy: samples.cpp:534-577)."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from image_dedup_spark.operators import components as CC
+
+
+def _union_find_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(200), 2)))
+            for _ in range(150)
+        }
+    )
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in CC.connected_components(df).collect()
+    }
+    # min-label means cluster_id == min node of the component
+    oracle = _union_find_oracle(edges)
+    comp_min = {}
+    for n, root in oracle.items():
+        comp_min.setdefault(root, []).append(n)
+    expect = {
+        n: min(comp_min[root]) for n, root in oracle.items()
+    }
+    assert got == expect
+
+
+def test_long_chain_converges(spark):
+    """A path graph stresses the iteration count (diameter = n-1, but
+    min-label propagation halves distance-to-min each round via the
+    label table union, so 60 nodes << cc_max_iterations rounds)."""
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    got = CC.connected_components(df)
+    assert got.select("cluster_id").distinct().count() == 1
+
+
+def test_assign_clusters_covers_untouched_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src_id long, dst_id long")
+    got = CC.assign_clusters(docs, edges)
+    rows = {r.doc_id: (r.cluster_id, r.is_representative) for r in got.collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False)
+    assert rows[3] == (1, False)
+    assert rows[0] == (0, True)  # untouched doc is its own representative
+    assert got.count() == 10
+
+
+def test_greedy_survivors_independent_set(spark):
+    rng = random.Random(3)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(80), 2))) for _ in range(120)}
+    )
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    res = {r.doc_id: r.removed for r in CC.greedy_survivors(df).collect()}
+    # postcondition (reference invariant): survivors form an independent set
+    for a, b in edges:
+        assert res[a] or res[b], f"edge ({a},{b}) survived intact"
+    # determinism
+    res2 = {r.doc_id: r.removed for r in CC.greedy_survivors(df).collect()}
+    assert res == res2

@@ -1,0 +1,61 @@
+"""End-to-end pipeline + resume idempotence (SURVEY.md §5 tiers 3-4)."""
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from image_dedup_spark.plans.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end(spark, corpus):
+    pages, truth = corpus
+    res = run_pipeline(spark, pages)
+    stages = [m["stage"] for m in res.metrics]
+    assert stages[0] == "01_filtered" and stages[-1] == "09_survivors"
+
+    # every planted exact cluster collapses to exactly one survivor
+    surv = res.survivors.join(truth.select("doc_id", "cluster_id", "kind"), "doc_id")
+    multi = (
+        surv.filter(F.col("kind") == "exact")
+        .groupBy("cluster_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert multi == 0
+    # representatives are component minima
+    reps = res.clusters.filter(F.col("is_representative"))
+    assert reps.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
+    # rejects never reach clustering
+    n_rejects = truth.filter(F.col("kind") == "reject").count()
+    assert res.quarantine.count() == n_rejects
+    assert res.clusters.join(
+        truth.filter(F.col("kind") == "reject"), "doc_id", "left_semi"
+    ).count() == 0
+
+
+def test_pipeline_resume_idempotent(spark, corpus, tmp_path_factory):
+    pages, _ = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    r1 = run_pipeline(spark, pages, checkpoint_dir=ckpt)
+    first = sorted(r.doc_id for r in r1.survivors.collect())
+
+    # simulate a crash after stage 04: delete later stages, resume
+    for stage in ["05_simhash_pairs", "07_all_pairs", "08_clusters", "09_survivors"]:
+        shutil.rmtree(f"{ckpt}/{stage}", ignore_errors=True)
+    r2 = run_pipeline(spark, pages, checkpoint_dir=ckpt)
+    resumed = {m["stage"]: m["resumed"] for m in r2.metrics}
+    assert resumed["01_filtered"] and resumed["04_minhash_pairs"]
+    assert not resumed["05_simhash_pairs"]
+    second = sorted(r.doc_id for r in r2.survivors.collect())
+    assert first == second
+
+    # full re-run resumes everything and is byte-identical
+    r3 = run_pipeline(spark, pages, checkpoint_dir=ckpt)
+    assert all(m["resumed"] for m in r3.metrics)
+    third = sorted(r.doc_id for r in r3.survivors.collect())
+    assert first == third
+
+    # lineage records exist per materialized stage
+    lineage = spark.read.parquet(f"{ckpt}/_lineage/02_fingerprints")
+    assert lineage.agg(F.sum("count")).first()[0] == r1.metrics[2]["rows_out"]
