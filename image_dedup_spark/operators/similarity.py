@@ -81,18 +81,38 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing a bucket in any of
     n_tables independent hyperplane tables; exact cosine re-rank within
-    candidates. Recall grows with n_tables; each table is an equi-join."""
+    candidates. Recall grows with n_tables; each table is an equi-join.
+
+    ``multiprobe`` additionally probes every bucket at Hamming distance 1
+    from the query's signature (Lv et al., VLDB'07): the query side emits
+    n_planes+1 keys per table while the index side stays at 1, so the
+    join stays an equi-join and the shuffle grows only linearly in
+    n_planes — the cheap way to buy recall when true neighbours sit at
+    modest cosine (where exact-bucket collision probability is tiny)."""
     cands = None
     for t in range(n_tables):
         sig = hyperplane_signature(
             df, dim, n_planes, seed=0x5EED_0003 + 7919 * t, vec_col=vec_col
         ).select(F.col(id_col), "bucket")
-        a = sig.select(F.col(id_col).alias("src_id"), "bucket")
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+            a = sig.select(
+                F.col(id_col).alias("src_id"), F.explode(probes).alias("bucket")
+            )
+        else:
+            a = sig.select(F.col(id_col).alias("src_id"), "bucket")
         b = sig.select(F.col(id_col).alias("dst_id"), "bucket")
         p = a.join(b, "bucket").filter(F.col("src_id") != F.col("dst_id")).select(
             "src_id", "dst_id"
