@@ -32,6 +32,7 @@ from image_dedup_spark.operators import lsh as LSH
 from image_dedup_spark.operators import similarity as SIM
 from image_dedup_spark.operators import simhash_block as SB
 from image_dedup_spark.operators import substring as SUB
+from image_dedup_spark.operators import crosscorpus as XC
 from image_dedup_spark.plans.pipeline import run_pipeline
 
 # ---------------------------------------------------------------------------
@@ -580,6 +581,80 @@ SELECT src_id, dst_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 3
 """
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.35 (brute
+    force; the embedding analogue of the Hamming-threshold pair scan)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("src_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst_id"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("src_id") < F.col("dst_id"))
+        .withColumn("cos", SIM.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.35)
+        .select("src_id", "dst_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+p AS (SELECT a.vec_id src_id, b.vec_id dst_id,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT src_id, dst_id, round(cos, 4) AS cos FROM p WHERE cos >= 0.35
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Text-analysis surface: punctuation ratio, avg word length,
+    quality score, heuristic language guess (functions/text.py)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(TXT.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TXT.avg_word_len(F.col("text")), 6).alias("avg_word_len"),
+        TXT.quality_score(F.col("text")).alias("quality_score"),
+        TXT.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+_SQL_NORM_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " w -> w != '')"
+)
+_SQL_SW_HITS = (
+    f"len(list_filter({_SQL_NORM_TOKS}, w -> w IN "
+    "('the','and','of','to','a','in','is','that','for','it')))"
+)
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_SQL_NORM_TOKS} AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, n_punct,
+         CASE WHEN length(text) > 0 THEN n_punct * 1.0 / length(text) ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+              ELSE 0.0 END AS awl,
+         CASE WHEN len(toks) > 0 THEN {_SQL_SW_HITS} * 1.0 / len(toks) ELSE 0.0 END AS swr
+  FROM t
+)
+SELECT doc_id,
+       round(pr, 6) AS punct_ratio,
+       round(awl, 6) AS avg_word_len,
+       round(
+         (CASE WHEN length(text) >= 32 AND length(text) <= 100000 THEN 0.4 ELSE 0.0 END)
+         + least(swr * 4.0, 1.0) * 0.3
+         + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality_score,
+       CASE WHEN swr >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM s
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Windowed aggregation over the events stream table."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -680,6 +755,34 @@ def q_pipeline_clusters(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id", "is_representative")
 
 
+def q_greedy_survivors(spark, sf_dir):
+    """D3 reference-compat mode: per-component greedy max-degree removal
+    with deterministic tie-breaks (samples.cpp:534-577) over prefix-key
+    duplicate edges. Not SQL-expressible (iterative greedy)."""
+    d = _docs(spark, sf_dir).select("doc_id", _prefix().alias("k"))
+    a = d.select(F.col("doc_id").alias("src_id"), "k")
+    b = d.select(F.col("doc_id").alias("dst_id"), "k")
+    edges = a.join(b, "k").filter(F.col("src_id") < F.col("dst_id")).select(
+        "src_id", "dst_id"
+    )
+    return CC.greedy_survivors(edges)
+
+
+def q_near_remain_minhash(spark, sf_dir):
+    """D6/D8 production path: drop docs (sources src0-4) that near-dup
+    any gallery doc under the 128-hash MinHash family (LSH candidates +
+    signature-estimate verify; broadcast gallery bands)."""
+    fp = _fingerprints(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    fp = fp.join(d, "doc_id")
+    srcs = [f"src{i}" for i in range(5)]
+    src_fp = fp.filter(F.col("source").isin(srcs))
+    gal_fp = fp.filter(~F.col("source").isin(srcs))
+    return XC.near_remain(
+        src_fp.select("doc_id"), src_fp, gal_fp, DEFAULT, broadcast_gallery=True
+    )
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     """ANN production path: hyperplane-LSH bucketed cosine top-k."""
     e = _emb(spark, sf_dir).select(
@@ -713,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "substring_window_pairs": q_substring_window_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "text_quality": q_text_quality,
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
@@ -722,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bruteforce_jaccard_pairs": q_bruteforce_jaccard_pairs,
         "cdc_substring_pairs": q_cdc_substring_pairs,
         "pipeline_clusters": q_pipeline_clusters,
+        "greedy_survivors": q_greedy_survivors,
+        "near_remain_minhash": q_near_remain_minhash,
         "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 
@@ -748,6 +855,8 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "substring_window_pairs": SQL_SUBSTRING_WINDOWS,
         "embedding_cosine_topk": SQL_EMBEDDING_TOPK,
+        "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP,
+        "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,

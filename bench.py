@@ -62,13 +62,29 @@ def main() -> None:
     n_docs = docs.count()
 
     # --- headline dedup stages (timed end-to-end over the corpus) --------
+    # Stage order mirrors the pipeline (and the reference's md5-first
+    # ordering): exact dedup FIRST so the Arrow fingerprint pass only
+    # sees one copy per identical text; minhash verification runs in
+    # signature-estimate mode so the shingle sketch is never materialized.
+    exact_surv = timed(
+        "q_exact_dedup",
+        lambda: EX.survivors(docs.select("doc_id", "url", "text"))
+        .localCheckpoint(eager=True),
+    )
+
     fp_path = os.path.join(workdir, "fp")
-    fp_udf = make_fingerprint_udf(DEFAULT)
+    fp_udf = make_fingerprint_udf(DEFAULT, store_sketch=False)
+
+    # The UDF stage is CPU-bound: force one partition per ~2 task waves
+    # regardless of the (tiny) byte size of its input, or AQE's byte-based
+    # coalescing runs 150k docs of Python on a couple of cores.
+    n_par = spark.sparkContext.defaultParallelism * 2
 
     def _fingerprint():
         (
-            docs.select("doc_id", "url", "text", fp_udf(F.col("text")).alias("fp"))
-            .select("doc_id", "url", "text", "fp.*")
+            exact_surv.repartition(n_par)
+            .select("doc_id", fp_udf(F.col("text")).alias("fp"))
+            .select("doc_id", "fp.minhash", "fp.simhash", "fp.n_shingles")
             .write.mode("overwrite")
             .parquet(fp_path)
         )
@@ -77,25 +93,21 @@ def main() -> None:
     timed("q_fingerprint", _fingerprint)
     fp = spark.read.parquet(fp_path)
 
-    exact_surv = timed(
-        "q_exact_dedup",
-        lambda: EX.survivors(fp).localCheckpoint(eager=True),
-    )
     minhash_pairs = timed(
         "q_minhash_lsh_pairs",
-        lambda: LSH.minhash_dup_pairs(exact_surv, DEFAULT, mode="estimate")
+        lambda: LSH.minhash_dup_pairs(fp, DEFAULT, mode="estimate")
         .localCheckpoint(eager=True),
     )
     simhash_pairs = timed(
         "q_simhash_pairs",
-        lambda: SB.simhash_dup_pairs(exact_surv, DEFAULT).localCheckpoint(eager=True),
+        lambda: SB.simhash_dup_pairs(fp, DEFAULT).localCheckpoint(eager=True),
     )
-    exact_pairs = EX.pairs(fp)
+    exact_pairs = EX.pairs(docs.select("doc_id", "text"))
     all_pairs = exact_pairs.unionByName(minhash_pairs).unionByName(simhash_pairs)
     clusters = timed(
         "q_connected_components",
         lambda: CC.assign_clusters(
-            fp.select("doc_id"), all_pairs, DEFAULT
+            docs.select("doc_id"), all_pairs, DEFAULT
         ).localCheckpoint(eager=True),
     )
     n_clusters = clusters.filter(F.col("is_representative")).count()

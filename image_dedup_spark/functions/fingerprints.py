@@ -125,11 +125,20 @@ def simhash_batch(texts: pd.Series, cfg: DedupConfig = DEFAULT) -> list[np.ndarr
     return out
 
 
-def make_fingerprint_udf(cfg: DedupConfig = DEFAULT):
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def make_fingerprint_udf(cfg: DedupConfig = DEFAULT, store_sketch: bool = True):
     """Series→DataFrame pandas UDF computing all fingerprint columns in
     one Arrow pass. Usage::
 
         df.withColumn("fp", make_fingerprint_udf(cfg)(F.col("text")))
+
+    ``store_sketch=False`` emits empty ``shingles`` arrays (schema
+    unchanged): the bottom-k sketch exists only for the exact-Jaccard
+    verify, and when verification runs in signature-estimate mode the
+    sketch would be pure dead weight — up to ``max_shingles_per_doc``
+    longs per row through every downstream shuffle and parquet write.
     """
 
     def _compute(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -155,7 +164,7 @@ def make_fingerprint_udf(cfg: DedupConfig = DEFAULT):
                             ((bits > half).astype(_U64) << shifts).sum(dtype=_U64)
                         ).astype(np.int64)
                     sh.append(words)
-                    sk.append(u.astype(np.int64))
+                    sk.append(u.astype(np.int64) if store_sketch else _EMPTY_I64)
                     ns.append(len(u))
             yield pd.DataFrame(
                 {

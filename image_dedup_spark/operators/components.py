@@ -71,19 +71,18 @@ def connected_components(
                 F.coalesce("p_label", "cluster_id").alias("cluster_id"),
             )
         )
-        # localCheckpoint each round: the convergence count below is an
+        # localCheckpoint each round: the convergence probe below is an
         # action anyway, and truncating lineage keeps later iterations from
         # re-running the whole chain.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        # Min-propagation never increases a label, so the label sum is
+        # strictly decreasing until the fixpoint: one cheap aggregate per
+        # round replaces a join+count convergence probe.
+        label_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if it > 0 and label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 

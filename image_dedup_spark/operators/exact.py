@@ -32,17 +32,23 @@ def with_rank(
     return df.withColumn("dup_rank", F.row_number().over(w))
 
 
+def _keepers(keyed: DataFrame, order: str) -> DataFrame:
+    """(exact_key, min(order)) — the keep-first winners. A groupBy/min is
+    map-side combinable, so only slim (key, id) pairs ever shuffle; the
+    wide input rows are then matched back with a semi-join that Catalyst
+    broadcasts when the keeper table is small and sort-merges otherwise.
+    Strictly cheaper than a window over the wide rows (which must shuffle
+    every payload column through the partitionBy exchange)."""
+    return keyed.groupBy("exact_key").agg(F.min(order).alias(order))
+
+
 def survivors(
     df: DataFrame, key_col: Column | None = None, order: str = "doc_id"
 ) -> DataFrame:
     """Keep-first exact dedup. Adds ``exact_key``; drops later occurrences."""
     key_col = exact_key(F.col("text")) if key_col is None else key_col
     keyed = df.withColumn("exact_key", key_col)
-    return (
-        with_rank(keyed, order=order)
-        .filter(F.col("dup_rank") == 1)
-        .drop("dup_rank")
-    )
+    return keyed.join(_keepers(keyed, order), ["exact_key", order], "left_semi")
 
 
 def dropped(
@@ -51,11 +57,7 @@ def dropped(
     """The complement of ``survivors`` (rows removed by exact dedup)."""
     key_col = exact_key(F.col("text")) if key_col is None else key_col
     keyed = df.withColumn("exact_key", key_col)
-    return (
-        with_rank(keyed, order=order)
-        .filter(F.col("dup_rank") > 1)
-        .drop("dup_rank")
-    )
+    return keyed.join(_keepers(keyed, order), ["exact_key", order], "left_anti")
 
 
 def clusters(

@@ -4,10 +4,10 @@ Reference flow (/root/reference/image_deduper.cpp:293-359,
 process_pipeline): filter → md5 exact dedup → phash near-dedup → dhash
 near-dedup, each stage materialized with per-stage timing. Engine flow:
 
-  quality filter (+quarantine) → fingerprints (one Arrow pass) →
-  exact dedup (keep-first) → MinHash/LSH pairs → SimHash pairs →
-  [optional substring pairs] → connected components → clusters +
-  survivors, with per-stage parquet checkpoints, per-partition lineage
+  quality filter (+quarantine) → exact dedup (keep-first) →
+  fingerprints (one Arrow pass, survivors only) → MinHash/LSH pairs →
+  SimHash pairs → [optional substring pairs] → connected components →
+  clusters + survivors, with per-stage parquet checkpoints, per-partition lineage
   and a metrics table. Any stage resumes from its checkpoint if present
   (idempotent re-run — north_rule).
 """
@@ -106,25 +106,30 @@ def run_pipeline(
     filtered = stage("01_filtered", lambda: Q.keep(pages, cfg))
     quarantine = stage("01_quarantine", lambda: Q.quarantine(pages, cfg))
 
-    fp_udf = make_fingerprint_udf(cfg)
-    fingerprints = stage(
-        "02_fingerprints",
-        lambda: filtered.select(
-            "doc_id", "url", "text", fp_udf(F.col("text")).alias("fp")
-        ).select("doc_id", "url", "text", "fp.*"),
-    )
+    # Exact dedup BEFORE the fingerprint UDF — the reference's own stage
+    # order (md5 dedup precedes phash/dhash, image_deduper.cpp:293-359):
+    # cardinality reduction so the expensive Arrow pass and every LSH
+    # shuffle only ever see one copy per identical text.
+    exact_pairs = stage("02_exact_pairs", lambda: EX.pairs(filtered))
+    exact_survivors = stage("02_exact_survivors", lambda: EX.survivors(filtered))
 
-    exact_pairs = stage("03_exact_pairs", lambda: EX.pairs(fingerprints))
-    exact_survivors = stage(
-        "03_exact_survivors", lambda: EX.survivors(fingerprints)
+    fp_udf = make_fingerprint_udf(cfg, store_sketch=(verify_mode == "exact"))
+    # Repartition before the Arrow UDF: the stage is CPU-bound, so its
+    # width must track cores, not the byte size AQE saw upstream.
+    n_par = spark.sparkContext.defaultParallelism * 2
+    fingerprints = stage(
+        "03_fingerprints",
+        lambda: exact_survivors.repartition(n_par)
+        .select("doc_id", "url", "text", fp_udf(F.col("text")).alias("fp"))
+        .select("doc_id", "url", "text", "fp.*"),
     )
 
     minhash_pairs = stage(
         "04_minhash_pairs",
-        lambda: LSH.minhash_dup_pairs(exact_survivors, cfg, mode=verify_mode),
+        lambda: LSH.minhash_dup_pairs(fingerprints, cfg, mode=verify_mode),
     )
     simhash_pairs = stage(
-        "05_simhash_pairs", lambda: SB.simhash_dup_pairs(exact_survivors, cfg)
+        "05_simhash_pairs", lambda: SB.simhash_dup_pairs(fingerprints, cfg)
     )
 
     all_pairs = [exact_pairs, minhash_pairs, simhash_pairs]
@@ -140,7 +145,7 @@ def run_pipeline(
     clusters = stage(
         "08_clusters",
         lambda: CC.assign_clusters(
-            fingerprints.select("doc_id", "url"), pairs, cfg
+            filtered.select("doc_id", "url"), pairs, cfg
         ),
     )
     survivors = stage(

@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Fingerprints/signatures compress very well in parquet but are
+        # wide in memory and CPU-heavy to process, so byte-based partition
+        # sizing badly undershoots the useful parallelism: keep scan and
+        # AQE-coalesced partitions small so CPU-bound stages stay wide.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(16 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 from datetime import datetime, timezone
@@ -19,22 +20,40 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cores: int, expansion: int, sf_dir: str) -> dict:
+def _spark_submit() -> str | None:
+    return shutil.which("spark-submit")
+
+
+def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> dict:
+    """One bench run. Uses the real ``spark-submit --py-files`` launch
+    path (the north_rule's submit mechanism) when spark-submit is on
+    PATH; plain ``python bench.py`` otherwise (identical job either way —
+    bench.py builds its own session from $SPARK_GRAFT_CPUS)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_BENCH_EXPANSION=str(expansion),
         SPARK_GRAFT_SF_DIR=sf_dir,
     )
+    submit = _spark_submit()
+    if submit and pyfiles:
+        cmd = [
+            submit,
+            "--master", f"local[{cores}]",
+            "--py-files", pyfiles,
+            os.path.join(REPO, "bench.py"),
+        ]
+    else:
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
+        cmd, env=env, capture_output=True, text=True, timeout=3600
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench produced no JSON (cmd={cmd[0]}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

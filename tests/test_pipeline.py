@@ -57,5 +57,6 @@ def test_pipeline_resume_idempotent(spark, corpus, tmp_path_factory):
     assert first == third
 
     # lineage records exist per materialized stage
-    lineage = spark.read.parquet(f"{ckpt}/_lineage/02_fingerprints")
-    assert lineage.agg(F.sum("count")).first()[0] == r1.metrics[2]["rows_out"]
+    lineage = spark.read.parquet(f"{ckpt}/_lineage/03_fingerprints")
+    fp_rows = {m["stage"]: m["rows_out"] for m in r1.metrics}["03_fingerprints"]
+    assert lineage.agg(F.sum("count")).first()[0] == fp_rows
