@@ -203,36 +203,65 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COHORT = 8
+
+
 def expanded_documents(
     spark: SparkSession, sf_dir: str, expansion: int, seed: int = 42
 ) -> DataFrame:
     """Bench corpus: deterministically expand the driver's ``documents``
-    table by `expansion`×. Each replica is either an exact copy (1/4) or a
-    near-variant with ~4% token edits (3/4), so the dedup pipeline has real
-    work at bench scale. Built-ins only — generated on the fly."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang"
+    table by `expansion`×, with FIXED-SIZE duplicate structure.
+
+    Replicas are grouped into cohorts of 8: the cohort base is the source
+    doc with ~40% of tokens rewritten (keyed by cohort — cohorts of the
+    same doc are NOT near-duplicates of each other), and within a cohort
+    each replica is an exact copy (1/4) or a ~4% near-variant (3/4) of
+    the cohort base. Cluster size is therefore ≤ 8 at ANY expansion, so
+    total dedup work (pairs, cluster diameters) scales LINEARLY with the
+    corpus — the shape a real crawl has, and the property the N-vs-4N
+    scaling protocol needs (a cluster size that grows with expansion
+    makes pair work quadratic and the benchmark unrepresentative).
+    Built-ins only — generated on the fly, identical at any parallelism.
+    """
+    # NOTE the src_id rename: aliasing a *new* ``doc_id`` in the same
+    # select whose lambda expressions also reference the *input*
+    # ``doc_id`` trips Spark's lateral-column-alias resolution inside
+    # higher-order-function lambdas (the lambda's outer reference binds
+    # to the sibling alias, silently destroying the planted duplicate
+    # structure). Distinct names end-to-end make resolution unambiguous.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("src_id"), "text", "lang")
     )
     reps = spark.range(expansion).withColumnRenamed("id", "rep")
-    j = docs.crossJoin(reps)
+    j = docs.crossJoin(reps).withColumn(
+        "cohort", (F.col("rep") / _COHORT).cast("long")
+    )
     words = F.split(F.col("text"), " ")
-    edited = F.transform(
+    is_exact_copy = F.pmod(_h(seed + 1, F.col("src_id"), F.col("rep")), F.lit(4)) == 0
+    cohort_base = F.transform(
         words,
         lambda w, idx: F.when(
-            (F.col("rep") > 0)
+            F.pmod(_h(seed, F.col("src_id"), F.col("cohort"), idx), F.lit(100)) < 40,
+            _word(seed + 3, F.col("src_id"), F.col("cohort"), idx),
+        ).otherwise(w),
+    )
+    edited = F.transform(
+        cohort_base,
+        lambda w, idx: F.when(
+            (~is_exact_copy)
             & (
-                F.pmod(_h(seed, F.col("doc_id"), F.col("rep"), idx), F.lit(100))
+                F.pmod(_h(seed + 4, F.col("src_id"), F.col("rep"), idx), F.lit(100))
                 < 4
-            )
-            & (F.pmod(_h(seed + 1, F.col("doc_id"), F.col("rep")), F.lit(4)) > 0),
-            _word(seed + 2, F.col("doc_id"), F.col("rep"), idx),
+            ),
+            _word(seed + 2, F.col("src_id"), F.col("rep"), idx),
         ).otherwise(w),
     )
     return j.select(
-        (F.col("doc_id") * expansion + F.col("rep")).alias("doc_id"),
+        (F.col("src_id") * expansion + F.col("rep")).alias("doc_id"),
         F.concat(
             F.lit("doc://bench/"),
-            F.col("doc_id").cast("string"),
+            F.col("src_id").cast("string"),
             F.lit("/"),
             F.col("rep").cast("string"),
         ).alias("url"),

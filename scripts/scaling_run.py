@@ -40,6 +40,9 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
         cmd = [
             submit,
             "--master", f"local[{cores}]",
+            # builder-time spark.driver.memory is ignored under
+            # spark-submit (the JVM is already up) — set it here.
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
             "--py-files", pyfiles,
             os.path.join(REPO, "bench.py"),
         ]
@@ -60,8 +63,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
     n, four_n = 8, 32
-    r_n = run_bench(n, expansion, sf_dir)
-    r_4n = run_bench(four_n, expansion, sf_dir)
+    from make_pyfiles_zip import build
+
+    pyfiles = build()
+    r_n = run_bench(n, expansion, sf_dir, pyfiles)
+    r_4n = run_bench(four_n, expansion, sf_dir, pyfiles)
     tp_n = r_n["docs_per_sec"]
     tp_4n = r_4n["docs_per_sec"]
     eff = tp_4n / (4 * tp_n)
