@@ -53,11 +53,15 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
-    # materialize the deterministic bench corpus (not part of the timings)
+    # materialize the deterministic bench corpus (not part of the timings).
+    # Fixed 128-file layout: identical physical input at every parallelism
+    # level (the scaling protocol's requirement), and enough splits that
+    # the scan parallelizes at any core count (a single ~50MB file gives
+    # the md5/regex-heavy probe scans only ~4 tasks).
     corpus_path = os.path.join(workdir, "corpus")
-    expanded_documents(spark, sf_dir, expansion).write.mode("overwrite").parquet(
-        corpus_path
-    )
+    expanded_documents(spark, sf_dir, expansion).repartition(128).write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
 

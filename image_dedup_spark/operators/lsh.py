@@ -53,7 +53,12 @@ def candidate_pairs(
         "bucket_min", F.min("doc_id").over(w)
     )
 
-    small = sized.filter(F.col("bucket_n") <= cfg.bucket_cap)
+    # bucket_n >= 2: singleton buckets (the vast majority of band keys)
+    # cannot produce a pair — dropping them before the self-join removes
+    # most of the join's input instead of hashing it twice for nothing.
+    small = sized.filter(
+        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= cfg.bucket_cap)
+    )
     a = small.select("band_key", F.col("doc_id").alias("src_id"))
     bb = small.select("band_key", F.col("doc_id").alias("dst_id"))
     small_pairs = a.join(bb, "band_key").filter(

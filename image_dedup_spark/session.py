@@ -53,6 +53,11 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(16 * 1024 * 1024),
         )
+        # Default 1MB floor caps small-shuffle stages (e.g. connected-
+        # components label joins) at a handful of tasks no matter how many
+        # cores exist; with parallelismFirst, a lower floor lets AQE keep
+        # one partition per core for latency-bound iterative stages.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
