@@ -74,6 +74,10 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select("doc_id", "text", udf(F.col("text")).alias("fp"))
         .select("doc_id", "text", "fp.*")
+        # The LSH/verify consumers reference this subtree up to 5x in one
+        # plan (.explain showed 5 ArrowEvalPython nodes); an
+        # InMemoryRelation computes the Arrow UDF once and shares it.
+        .cache()
     )
 
 

@@ -44,7 +44,8 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark(app_name="image_dedup_bench")
 
-    workdir = tempfile.mkdtemp(prefix="dedup_bench_")
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="dedup_bench_", dir=scratch_root)
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):

@@ -229,12 +229,18 @@ def expanded_documents(
     # higher-order-function lambdas (the lambda's outer reference binds
     # to the sibling alias, silently destroying the planted duplicate
     # structure). Distinct names end-to-end make resolution unambiguous.
+    # Repartition the streamed side of the cross join BEFORE the heavy
+    # word-array transforms: the documents table is one small parquet
+    # file, and a BroadcastNestedLoopJoin streams it as-is — without the
+    # fan-out, generation of millions of rows runs on a couple of tasks.
+    n_par = spark.sparkContext.defaultParallelism * 2
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.col("doc_id").alias("src_id"), "text", "lang")
+        .repartition(n_par)
     )
     reps = spark.range(expansion).withColumnRenamed("id", "rep")
-    j = docs.crossJoin(reps).withColumn(
+    j = docs.crossJoin(F.broadcast(reps)).withColumn(
         "cohort", (F.col("rep") / _COHORT).cast("long")
     )
     words = F.split(F.col("text"), " ")

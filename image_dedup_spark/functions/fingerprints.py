@@ -36,7 +36,12 @@ _U64 = np.uint64
 
 FINGERPRINT_SCHEMA = T.StructType(
     [
-        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        # minhash components are the HIGH 32 bits of the 64-bit
+        # multiply-shift minima (min first, then truncate — any
+        # deterministic post-map of the min preserves the MinHash
+        # collision property). int32 halves every downstream shuffle
+        # and the equality-estimate bias is 2^-32 per component.
+        T.StructField("minhash", T.ArrayType(T.IntegerType()), False),
         T.StructField("simhash", T.ArrayType(T.LongType()), False),
         T.StructField("shingles", T.ArrayType(T.LongType()), False),
         T.StructField("n_shingles", T.LongType(), False),
@@ -98,9 +103,12 @@ def minhash_signature_batch(
     with np.errstate(over="ignore"):
         for t in texts:
             u = shingle_hashes(t or "", cfg)
-            # (n, k) multiply-shift values; min over shingles per hash fn
+            # (n, k) multiply-shift values; min over shingles per hash fn,
+            # then high-32-bit truncation (same post-map as the UDF)
             vals = u[:, None] * a[None, :] + b[None, :]
-            out.append(vals.min(axis=0).astype(np.int64))
+            out.append(
+                (vals.min(axis=0) >> _U64(32)).astype(np.int64).astype(np.int32)
+            )
     return out
 
 
@@ -152,7 +160,11 @@ def make_fingerprint_udf(cfg: DedupConfig = DEFAULT, store_sketch: bool = True):
                 for t in texts:
                     u = shingle_hashes(t or "", cfg)
                     vals = u[:, None] * a[None, :] + b[None, :]
-                    mh.append(vals.min(axis=0).astype(np.int64))
+                    mh.append(
+                        (vals.min(axis=0) >> _U64(32)).astype(np.int64).astype(
+                            np.int32
+                        )
+                    )
                     half = len(u) / 2.0
                     words = np.empty(n_words, dtype=np.int64)
                     for j in range(n_words):

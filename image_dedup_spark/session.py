@@ -13,6 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """tmpfs-backed scratch for shuffle/spill when the host has one."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark_local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+
+
 def get_spark(
     app_name: str = "image_dedup_spark",
     cores: int | None = None,
@@ -58,6 +68,10 @@ def get_spark(
         # cores exist; with parallelismFirst, a lower floor lets AQE keep
         # one partition per core for latency-bound iterative stages.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Shuffle/spill files on tmpfs when available: local-mode shuffles
+        # through the page cache showed 40-70% sys time on the virtio
+        # disk; a cluster deployment would put spark.local.dir on NVMe.
+        .config("spark.local.dir", _local_dir())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

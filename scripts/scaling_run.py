@@ -42,7 +42,10 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
             "--master", f"local[{cores}]",
             # builder-time spark.driver.memory is ignored under
             # spark-submit (the JVM is already up) — set it here.
-            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
+            # Measured: oversized heaps REGRESS this workload (G1 on a
+            # 48g heap ran the same stages ~2x slower than 8g); 10g is
+            # ample for the checkpointed stages at 1.5M docs.
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "10g"),
             "--py-files", pyfiles,
             os.path.join(REPO, "bench.py"),
         ]
