@@ -1,0 +1,187 @@
+"""CLI dispatch — the engine's counterpart of the reference's subcommand
+surface (/root/reference/image_deduper.cpp:26-102: parse_args/run_cmd
+with 12 subcommands; /root/reference/main.cpp).
+
+Subcommand map (reference -> here):
+  filter            -> filter        (quality filter + quarantine)
+  gen_md5           -> gen_exact     (exact keys)
+  dedup_md5         -> dedup_exact   (keep-first survivors)
+  gen_dhash/phash   -> gen_fp        (MinHash+SimHash in one Arrow pass)
+  dedup_dhash/phash -> dedup_near    (LSH + SimHash pairs -> components)
+  merge_*           -> merge         (fold incoming into accumulated set)
+  remain_*          -> remain        (drop src rows duplicated in gallery)
+  pipeline          -> pipeline      (full flagship flow, resumable)
+
+Parallelism comes from the Spark conf (the reference took n_proc from
+argv[2]); inputs/outputs are parquet directories (Iceberg tables at
+deployment). Run as:
+
+  spark-submit --py-files dist/image_dedup_spark.zip -m image_dedup_spark ...
+  (or: python -m image_dedup_spark <subcommand> ...)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pyspark.sql.functions as F
+
+from image_dedup_spark.config import DEFAULT
+from image_dedup_spark.functions.fingerprints import make_fingerprint_udf
+from image_dedup_spark.operators import components as CC
+from image_dedup_spark.operators import crosscorpus as XC
+from image_dedup_spark.operators import exact as EX
+from image_dedup_spark.operators import lsh as LSH
+from image_dedup_spark.operators import quality as Q
+from image_dedup_spark.operators import simhash_block as SB
+from image_dedup_spark.plans.pipeline import run_pipeline
+from image_dedup_spark.session import get_spark
+
+
+def _read(spark, path):
+    return spark.read.parquet(path)
+
+
+def _write(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def _fp(df, store_sketch=False):
+    udf = make_fingerprint_udf(DEFAULT, store_sketch=store_sketch)
+    spark = df.sparkSession
+    n_par = spark.sparkContext.defaultParallelism * 2
+    return (
+        df.repartition(n_par)
+        .select("doc_id", "url", "text", udf(F.col("text")).alias("fp"))
+        .select("doc_id", "url", "text", "fp.*")
+    )
+
+
+def cmd_filter(spark, a):
+    pages = _read(spark, a.input)
+    _write(Q.keep(pages, DEFAULT), a.output)
+    if a.quarantine:
+        _write(Q.quarantine(pages, DEFAULT), a.quarantine)
+
+
+def cmd_gen_exact(spark, a):
+    df = _read(spark, a.input)
+    _write(df.withColumn("exact_key", EX.exact_key(F.col("text"))), a.output)
+
+
+def cmd_dedup_exact(spark, a):
+    df = _read(spark, a.input)
+    _write(EX.survivors(df), a.output)
+    if a.pairs:
+        _write(EX.pairs(df), a.pairs)
+
+
+def cmd_gen_fp(spark, a):
+    _write(_fp(_read(spark, a.input), store_sketch=a.sketch), a.output)
+
+
+def cmd_dedup_near(spark, a):
+    fp = _read(spark, a.input)
+    mh = LSH.minhash_dup_pairs(fp, DEFAULT, mode=a.verify)
+    sh = SB.simhash_dup_pairs(fp, DEFAULT)
+    pairs = mh.unionByName(sh)
+    if a.pairs:
+        _write(pairs, a.pairs)
+    clusters = CC.assign_clusters(fp.select("doc_id", "url"), pairs, DEFAULT)
+    _write(clusters, a.output)
+
+
+def cmd_merge(spark, a):
+    acc = _read(spark, a.acc)
+    inc = _read(spark, a.incoming)
+    merged = XC.near_merge(acc, acc, inc, inc, DEFAULT)
+    _write(merged, a.output)
+
+
+def cmd_remain(spark, a):
+    src = _read(spark, a.src)
+    gal = _read(spark, a.gallery)
+    _write(XC.near_remain(src, src, gal, DEFAULT), a.output)
+
+
+def cmd_pipeline(spark, a):
+    pages = _read(spark, a.input)
+    res = run_pipeline(
+        spark,
+        pages,
+        DEFAULT,
+        checkpoint_dir=a.checkpoint_dir,
+        include_substring=a.substring,
+        verify_mode=a.verify,
+    )
+    _write(res.clusters, f"{a.output}/clusters")
+    _write(res.survivors, f"{a.output}/survivors")
+    _write(res.pairs, f"{a.output}/pairs")
+    _write(res.quarantine, f"{a.output}/quarantine")
+    print(json.dumps(res.metrics))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="image_dedup_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("filter")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--quarantine")
+    sp.set_defaults(fn=cmd_filter)
+
+    sp = sub.add_parser("gen_exact")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_gen_exact)
+
+    sp = sub.add_parser("dedup_exact")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--pairs")
+    sp.set_defaults(fn=cmd_dedup_exact)
+
+    sp = sub.add_parser("gen_fp")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--sketch", action="store_true")
+    sp.set_defaults(fn=cmd_gen_fp)
+
+    sp = sub.add_parser("dedup_near")
+    sp.add_argument("--input", required=True, help="fingerprint table")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--pairs")
+    sp.add_argument("--verify", default="estimate", choices=["exact", "estimate"])
+    sp.set_defaults(fn=cmd_dedup_near)
+
+    sp = sub.add_parser("merge")
+    sp.add_argument("--acc", required=True, help="accumulated fingerprint table")
+    sp.add_argument("--incoming", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("remain")
+    sp.add_argument("--src", required=True, help="src fingerprint table")
+    sp.add_argument("--gallery", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_remain)
+
+    sp = sub.add_parser("pipeline")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--checkpoint-dir")
+    sp.add_argument("--substring", action="store_true")
+    sp.add_argument("--verify", default="exact", choices=["exact", "estimate"])
+    sp.set_defaults(fn=cmd_pipeline)
+
+    a = p.parse_args(argv)
+    spark = get_spark(app_name=f"image_dedup_spark_{a.cmd}")
+    a.fn(spark, a)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,7 +65,8 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
-    n, four_n = 8, 32
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    four_n = 4 * n
     from make_pyfiles_zip import build
 
     pyfiles = build()
