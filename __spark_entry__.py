@@ -787,6 +787,16 @@ def q_near_remain_minhash(spark, sf_dir):
     )
 
 
+def q_binary_meta(spark, sf_dir):
+    """Multimodal surface: metadata extraction (size, content hash,
+    magic-byte format sniff) over the opaque binary column via
+    mapInPandas (decode stubbed; plumbing real — operators/multimodal)."""
+    from image_dedup_spark.operators import multimodal as MM
+
+    pages = documents_as_pages(spark, sf_dir)
+    return MM.binary_meta(pages)
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     """ANN production path: hyperplane-LSH bucketed cosine top-k."""
     e = _emb(spark, sf_dir).select(
@@ -833,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters": q_pipeline_clusters,
         "greedy_survivors": q_greedy_survivors,
         "near_remain_minhash": q_near_remain_minhash,
+        "binary_meta": q_binary_meta,
         "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 
