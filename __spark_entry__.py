@@ -787,6 +787,13 @@ def q_near_remain_minhash(spark, sf_dir):
     )
 
 
+def q_suffix_array_spans(spark, sf_dir):
+    """Suffix-array substring mode: exact shared spans >= 128 bytes with
+    positions (CDC chunk groups -> per-group suffix array + Kasai LCP).
+    The reference's unimplemented TODO (main.cpp:86-87)."""
+    return SUB.suffix_array_spans(_docs(spark, sf_dir), DEFAULT)
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal surface: metadata extraction (size, content hash,
     magic-byte format sniff) over the opaque binary column via
@@ -844,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_survivors": q_greedy_survivors,
         "near_remain_minhash": q_near_remain_minhash,
         "binary_meta": q_binary_meta,
+        "suffix_array_spans": q_suffix_array_spans,
         "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 

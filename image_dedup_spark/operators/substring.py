@@ -99,6 +99,163 @@ def chunk_table(
     )
 
 
+def _suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy argsort per round,
+    O(n log^2 n)). Input: uint8 array."""
+    n = len(s)
+    rank = s.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    tmp = np.empty(n, dtype=np.int64)
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        sa = order
+        tmp[sa[0]] = 0
+        prev = sa[:-1]
+        cur = sa[1:]
+        newgrp = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+        tmp[cur] = np.cumsum(newgrp)
+        rank = tmp.copy()
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def _lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai's algorithm: LCP of adjacent suffixes in SA order."""
+    n = len(s)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            m = n - max(i, j)
+            while h < m and s[i + h] == s[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def _group_suffix_spans(
+    pdf: pd.DataFrame, min_span: int, max_doc_bytes: int
+) -> pd.DataFrame:
+    """Exact cross-doc shared spans >= min_span within one candidate
+    group: concatenate the group's docs with \\x00 separators, build
+    suffix array + LCP, and for each adjacent suffix pair from DIFFERENT
+    docs with LCP >= min_span record the span. Per (src,dst) pair the
+    longest span wins."""
+    pdf = pdf.drop_duplicates("doc_id")
+    if len(pdf) < 2:
+        return pd.DataFrame(
+            columns=["src_id", "dst_id", "span_len", "src_pos", "dst_pos"]
+        )
+    bufs, owners, offs = [], [], []
+    pos = 0
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        b = (text or "").encode("utf-8", errors="replace")[:max_doc_bytes]
+        bufs.append(b)
+        owners.append((pos, pos + len(b), int(did)))
+        offs.append(pos)
+        pos += len(b) + 1  # separator
+    s = np.frombuffer(b"\x00".join(bufs), dtype=np.uint8)
+    if len(s) < min_span:
+        return pd.DataFrame(
+            columns=["src_id", "dst_id", "span_len", "src_pos", "dst_pos"]
+        )
+    sa = _suffix_array(s)
+    lcp = _lcp_array(s, sa)
+    starts = np.array([o[0] for o in owners], dtype=np.int64)
+    ends = np.array([o[1] for o in owners], dtype=np.int64)
+    ids = np.array([o[2] for o in owners], dtype=np.int64)
+
+    def owner(p: int) -> int:
+        i = int(np.searchsorted(starts, p, side="right")) - 1
+        return i if p < ends[i] else -1
+
+    best: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for r in np.flatnonzero(lcp >= min_span):
+        p1, p2 = int(sa[r - 1]), int(sa[r])
+        o1, o2 = owner(p1), owner(p2)
+        if o1 < 0 or o2 < 0 or o1 == o2:
+            continue
+        # clip the match at each doc's end (it cannot cross the \x00
+        # separator, but clip defensively) and at the true LCP
+        ln = int(
+            min(lcp[r], ends[o1] - p1, ends[o2] - p2)
+        )
+        if ln < min_span:
+            continue
+        a, b_ = (o1, o2) if ids[o1] < ids[o2] else (o2, o1)
+        pa, pb = (p1, p2) if ids[o1] < ids[o2] else (p2, p1)
+        key = (int(ids[a]), int(ids[b_]))
+        rec = (ln, int(pa - starts[a]), int(pb - starts[b_]))
+        if key not in best or rec[0] > best[key][0]:
+            best[key] = rec
+    rows = [(k[0], k[1], v[0], v[1], v[2]) for k, v in best.items()]
+    return pd.DataFrame(
+        rows, columns=["src_id", "dst_id", "span_len", "src_pos", "dst_pos"]
+    )
+
+
+_SPAN_SCHEMA = (
+    "src_id long, dst_id long, span_len long, src_pos long, dst_pos long"
+)
+
+
+def suffix_array_spans(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "doc_id"
+) -> DataFrame:
+    """Suffix-array substring mode: exact shared spans >= cfg.cdc_min_span
+    bytes between doc pairs, with positions.
+
+    Scale shape: a suffix array over the whole corpus does not
+    distribute, but the detection problem does — CDC chunk hashes
+    co-locate candidate docs (docs sharing any non-ubiquitous chunk land
+    in the same group), then each group builds a LOCAL suffix array +
+    Kasai LCP over its concatenated docs and extracts exact cross-doc
+    spans. Groups are bounded by cfg.bucket_cap (ubiquitous chunks are
+    dropped with the same accounting as LSH buckets), so per-task memory
+    is bounded regardless of corpus size. The reference left this as a
+    TODO ('nlogN by sort or tree method', main.cpp:86-87)."""
+    ch = chunk_table(docs, cfg, id_col).dropDuplicates(["doc_id", "chunk_hash"])
+    freq = ch.groupBy("chunk_hash").agg(F.count("*").alias("n_docs"))
+    shared = ch.join(
+        freq.filter(
+            (F.col("n_docs") > 1) & (F.col("n_docs") <= cfg.bucket_cap)
+        ),
+        "chunk_hash",
+    )
+    # one group per shared chunk; a doc pair sharing a >=min_span run
+    # shares at least one interior chunk, so it appears in some group
+    members = shared.select("chunk_hash", "doc_id").join(
+        docs.select(F.col(id_col).alias("doc_id"), "text"), "doc_id"
+    )
+    min_span, max_bytes = cfg.cdc_min_span, cfg.max_text_bytes
+    spans = members.groupBy("chunk_hash").applyInPandas(
+        lambda pdf: _group_suffix_spans(pdf, min_span, max_bytes),
+        schema=_SPAN_SCHEMA,
+    )
+    # the same pair may surface from several chunk groups: keep the max
+    return (
+        spans.groupBy("src_id", "dst_id")
+        .agg(
+            F.max("span_len").alias("span_len"),
+            F.min("src_pos").alias("src_pos"),
+            F.min("dst_pos").alias("dst_pos"),
+        )
+    )
+
+
 def substring_dup_pairs(
     docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -53,3 +53,38 @@ def test_substring_pairs_on_planted_corpus(spark, corpus):
     assert hit / len(planted_pairs) >= 0.6, (hit, len(planted_pairs))
     # no self pairs, ordered ids
     assert pairs.filter(F.col("src_id") >= F.col("dst_id")).count() == 0
+
+
+def test_suffix_array_spans_on_planted_corpus(spark, corpus):
+    """Suffix-array mode: exact span extraction recovers every planted
+    substring pair whose verbatim span exceeds the threshold (the exact
+    path has no anchor-sampling recall loss — spans >= min_span that
+    share an interior chunk are always grouped and exactly extracted)."""
+    pages, truth = corpus
+    docs = pages.select("doc_id", "text")
+    spans = SUB.suffix_array_spans(docs).cache()
+    got = {(r.src_id, r.dst_id): r.span_len for r in spans.collect()}
+    planted = (
+        truth.filter(F.col("kind") == "substring")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+    )
+    planted_pairs = {(r.a, r.b) for r in planted.collect()}
+    hit = sum(1 for p in planted_pairs if p in got)
+    assert hit / len(planted_pairs) >= 0.9, (hit, len(planted_pairs))
+    # every reported span is a genuine verbatim overlap: re-check a few
+    texts = dict(
+        docs.join(
+            spark.createDataFrame(
+                [(a,) for a, _ in list(got)[:5]] + [(b,) for _, b in list(got)[:5]],
+                "doc_id long",
+            ).distinct(),
+            "doc_id",
+            "left_semi",
+        ).collect()
+    )
+    rows = [r for r in spans.collect() if r.src_id in texts and r.dst_id in texts][:5]
+    for r in rows:
+        sa = texts[r.src_id].encode("utf-8")[r.src_pos : r.src_pos + r.span_len]
+        sb = texts[r.dst_id].encode("utf-8")[r.dst_pos : r.dst_pos + r.span_len]
+        assert sa == sb and len(sa) == r.span_len
