@@ -36,16 +36,18 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
         SPARK_GRAFT_SF_DIR=sf_dir,
     )
     submit = _spark_submit()
+    # Memory scales with cores (the real-cluster analog: same executor
+    # spec, more executors — per-core memory constant). Measured both
+    # failure modes: an 8g heap OOMs a 16-core leg at 5M docs, while an
+    # oversized 48g G1 heap runs identical stages ~2x slower than 8g.
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, 2 * cores)}g")
     if submit and pyfiles:
         cmd = [
             submit,
             "--master", f"local[{cores}]",
             # builder-time spark.driver.memory is ignored under
             # spark-submit (the JVM is already up) — set it here.
-            # Measured: oversized heaps REGRESS this workload (G1 on a
-            # 48g heap ran the same stages ~2x slower than 8g); 10g is
-            # ample for the checkpointed stages at 1.5M docs.
-            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "10g"),
+            "--driver-memory", mem,
             "--py-files", pyfiles,
             os.path.join(REPO, "bench.py"),
         ]
@@ -57,9 +59,17 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
         raise RuntimeError(
-            f"bench produced no JSON (cmd={cmd[0]}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+            f"bench produced no JSON (cmd={cmd[0]}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
         )
-    return json.loads(lines[-1])
+    res = json.loads(lines[-1])
+    # persist each leg immediately so a crashed/killed sibling leg never
+    # loses this one's 30+ minutes of measurement
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(REPO, "BENCH", f"leg_c{cores}_x{expansion}.json"), "w"
+    ) as f:
+        json.dump(res, f)
+    return res
 
 
 def main() -> None:
