@@ -209,7 +209,8 @@ def q_lang_stats(spark, sf_dir):
 
 
 SQL_LANG_STATS = """
-SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc
 FROM documents GROUP BY lang
 """
@@ -679,14 +680,21 @@ FROM events GROUP BY 1, 2
 
 
 def q_lineitem_pricing(spark, sf_dir):
-    """Columnar-scan/agg surface (TPC-H Q1 style) on lineitem."""
+    """Columnar-scan/agg surface (TPC-H Q1 style) on lineitem.
+
+    Money columns are DOUBLE with 2dp values; summing exact integer
+    cents (round to nearest, never exactly .5 for 2dp doubles) keeps the
+    aggregate bit-identical across engines — Spark's decimal widening
+    (28,2) vs DuckDB's (38,2) plus HALF_UP-vs-half-even rounding made
+    the decimal form hash-unstable."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -694,8 +702,10 @@ def q_lineitem_pricing(spark, sf_dir):
 
 SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS sum_base_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
