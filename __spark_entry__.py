@@ -16,6 +16,7 @@ Cross-engine conventions (kept in lockstep between the two sides):
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -24,7 +25,12 @@ from image_dedup_spark.config import DEFAULT
 from image_dedup_spark.corpus import documents_as_pages
 from image_dedup_spark.functions import text as TXT
 from image_dedup_spark.functions.fingerprints import make_fingerprint_udf
-from image_dedup_spark.functions.hashing import duckdb_md5_hash64, md5_hash64
+from image_dedup_spark.functions.hashing import (
+    duckdb_md5_hash64,
+    fp_to_hex,
+    hex_to_fp,
+    md5_hash64,
+)
 from image_dedup_spark.operators import bruteforce as BF
 from image_dedup_spark.operators import components as CC
 from image_dedup_spark.operators import exact as EX
@@ -734,21 +740,51 @@ GROUP BY c_mktsegment
 """
 
 
-# --- production (non-SQL-expressible) paths: rows-only driver check --------
+# --- production paths --------------------------------------------------
+# Driver-green strategy (round-2): every SQL-expressible production path
+# gets a DuckDB oracle. Two mechanisms:
+#   (a) paths whose OUTPUT is the exact truth set regardless of the
+#       internal hashing (minhash-LSH with exact-Jaccard verify, the
+#       brute-force scan) are oracled against the truth SQL directly —
+#       verify == exact Jaccard over the same shingle sets, and the
+#       testdata docs are ASCII with < max_shingles distinct shingles,
+#       so the Arrow fingerprint's hashed sets are faithful images of
+#       the char-shingle sets;
+#   (b) paths whose output depends on the hash function itself (SimHash
+#       Hamming, CDC chunk boundaries, signature-estimate verify, ANN
+#       buckets) run the SAME production operators over a
+#       cross-engine-reproducible md5-based fingerprint source, which
+#       DuckDB recomputes bit-for-bit.
+# Only suffix_array_spans (per-group suffix array + Kasai LCP) is
+# genuinely non-SQL-expressible and stays rows-only; its oracle is the
+# pytest byte-equality re-check of every emitted span.
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """D2 production path: 128-hash MinHash + 32x4 LSH + exact-Jaccard
-    verify (Arrow UDF fingerprints)."""
+    verify (Arrow UDF fingerprints). Oracle: the exact-Jaccard truth set
+    — sound by construction (verify IS exact Jaccard), complete iff LSH
+    candidate recall is 1.0 on this corpus, which the oracle asserts."""
     fp = _fingerprints(spark, sf_dir)
     return LSH.minhash_dup_pairs(fp, DEFAULT, mode="exact")
 
 
-def q_simhash_pairs(spark, sf_dir):
-    """D2 production path, SimHash family: 256-bit fingerprint, 32-band
-    blocking, exact Hamming verify."""
-    fp = _fingerprints(spark, sf_dir)
-    return SB.simhash_dup_pairs(fp, DEFAULT)
+SQL_TRUTH_JACCARD_07 = f"""
+WITH sh AS (SELECT DISTINCT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id src_id, b.doc_id dst_id, count(*) c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT src_id, dst_id, c * 1.0 / (sa.n + sb.n - c) AS score
+FROM inter
+JOIN sz sa ON src_id = sa.doc_id
+JOIN sz sb ON dst_id = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+"""
+
+SQL_MINHASH_LSH_PAIRS = (
+    f"SELECT src_id, dst_id, score, 'minhash' AS stage FROM ({SQL_TRUTH_JACCARD_07})"
+)
 
 
 def q_bruteforce_jaccard_pairs(spark, sf_dir):
@@ -757,22 +793,212 @@ def q_bruteforce_jaccard_pairs(spark, sf_dir):
     return BF.exact_jaccard_pairs(fp, DEFAULT)
 
 
+SQL_BRUTEFORCE_JACCARD = SQL_TRUTH_JACCARD_07
+
+
+# --- md5-based (cross-engine) fingerprint sources for mechanism (b) ----
+
+_SIM60_SEED = 7
+_SIM60_CFG = replace(DEFAULT, simhash_bits=64, simhash_bands=8, simhash_threshold=8)
+_MH32_SEEDS = list(range(100, 132))
+_MH32_CFG = replace(DEFAULT, num_hashes=32, lsh_bands=8, lsh_rows=4)
+
+
+def _distinct_shingles(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TXT.char_shingles(F.col("text"), 8))).alias("s"),
+    )
+
+
+def _sql_simhash_fp(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash: array<long>) — 60-bit SimHash whose per-shingle
+    hash is the cross-engine md5 primitive, so DuckDB rebuilds it
+    exactly. Production uses the numpy 256-bit Arrow variant instead."""
+    hv = _distinct_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", md5_hash64(F.col("s"), seed=_SIM60_SEED).alias("hv")
+    )
+    aggs = [
+        F.sum(F.shiftright("hv", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(60)
+    ] + [F.count("*").alias("n")]
+    g = hv.groupBy("doc_id").agg(*aggs)
+    word = None
+    for b in range(60):
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        word = term if word is None else word + term
+    return g.select("doc_id", F.array(word.cast("long")).alias("simhash"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """D2 production path, SimHash family: band blocking + bucket caps +
+    popcount prefilter + exact Hamming verify (operators/simhash_block,
+    operators/lsh.candidate_pairs — the full production code), over the
+    cross-engine 60-bit fingerprint. Pigeonhole recall is deterministic:
+    dist < 8 differing bits over 8 bands leaves >= 1 band untouched."""
+    return SB.simhash_dup_pairs(_sql_simhash_fp(spark, sf_dir), _SIM60_CFG)
+
+
+_SIM60_HASH = duckdb_md5_hash64("s", _SIM60_SEED)
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS (SELECT DISTINCT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+h AS (SELECT doc_id, {_SIM60_HASH} AS hv FROM sh),
+g AS (SELECT doc_id, count(*) n,
+      {', '.join(f'sum((hv >> {b}) & 1) c{b}' for b in range(60))}
+      FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id,
+  ({' + '.join(f'(CASE WHEN c{b}*2 > n THEN {1 << b}::BIGINT ELSE 0 END)' for b in range(60))})::BIGINT
+  AS w FROM g)
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+       CAST(bit_count(xor(a.w, b.w)) AS DOUBLE) AS score,
+       'simhash' AS stage
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.w, b.w)) < 8
+"""
+
+
 def q_cdc_substring_pairs(spark, sf_dir):
-    """Substring mode production path: content-defined chunking."""
-    return SUB.substring_dup_pairs(_docs(spark, sf_dir), DEFAULT)
+    """Substring mode: content-defined chunking -> shared-bytes pair
+    aggregation (operators/substring.chunk_pairs — the production
+    relational half), over the cross-engine md5-anchor chunker
+    (sql_chunk_table). Production default uses the numpy chunker, whose
+    equivalence on planted fixtures is pytest-checked."""
+    # materialize the chunk inventory once: the pair join references it
+    # ~4x (freq filter + both join sides) and the per-position md5
+    # expressions are the dominant cost of this oracle-checkable variant
+    ch = SUB.sql_chunk_table(_docs(spark, sf_dir), DEFAULT).localCheckpoint()
+    return SUB.chunk_pairs(ch, DEFAULT)
+
+
+_CDC_W_HASH = duckdb_md5_hash64("substring(text, i, 16)", 0xCDC)
+_SQL_CHUNK_CTE = f"""
+b AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) >= 16 THEN
+      list_sort(list_distinct(
+        [0] || list_transform(
+                 list_filter(range(1, greatest(length(text) - 14, 1)),
+                             i -> ({_CDC_W_HASH} & 63) = 0),
+                 i -> i + 15)
+            || [length(text)]))
+    ELSE [0, length(text)] END AS bounds
+  FROM documents),
+c AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(bounds)),
+        j -> {{'h': md5(substring(text, bounds[j] + 1, bounds[j+1] - bounds[j])),
+               'pos': bounds[j],
+               'len': bounds[j+1] - bounds[j]}})) AS ch
+  FROM b),
+cc AS (SELECT doc_id, ch.h AS h, ch.pos AS pos, ch.len AS len
+       FROM c WHERE ch.len > 0)
+"""
+
+SQL_CDC_SUBSTRING_PAIRS = f"""
+WITH {_SQL_CHUNK_CTE},
+d AS (SELECT DISTINCT doc_id, h, len FROM cc),
+f AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2 AND count(*) <= 256),
+p AS (SELECT a.doc_id AS src_id, b2.doc_id AS dst_id, sum(a.len) AS sb
+      FROM d a JOIN f ON a.h = f.h JOIN d b2 ON a.h = b2.h
+      WHERE a.doc_id < b2.doc_id GROUP BY 1, 2)
+SELECT src_id, dst_id, CAST(sb AS DOUBLE) AS score, 'substring' AS stage
+FROM p WHERE sb >= 128
+"""
+
+
+def q_chunk_run_spans(spark, sf_dir):
+    """Relational substring-span mode: maximal runs of consecutive
+    matching chunks (gaps-and-islands over the chunk-match join) — the
+    pure-DataFrame span path that scales without per-group suffix
+    arrays. Spans quantized to chunk boundaries; best record per pair
+    kept atomically (struct max)."""
+    ch = SUB.sql_chunk_table(_docs(spark, sf_dir), DEFAULT).localCheckpoint()
+    out = SUB.chunk_run_spans(ch, DEFAULT)
+    return out.select(
+        "src_id",
+        "dst_id",
+        F.col("span_len").cast("long").alias("span_len"),
+        F.col("src_pos").cast("long").alias("src_pos"),
+        F.col("dst_pos").cast("long").alias("dst_pos"),
+    )
+
+
+SQL_CHUNK_RUN_SPANS = f"""
+WITH {_SQL_CHUNK_CTE},
+f AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM cc) GROUP BY h
+      HAVING count(*) >= 2 AND count(*) <= 256),
+k AS (SELECT cc.doc_id, cc.h, cc.pos, cc.len,
+             row_number() OVER (PARTITION BY cc.doc_id ORDER BY cc.pos) AS idx
+      FROM cc JOIN f ON cc.h = f.h),
+m AS (SELECT a.doc_id AS src_id, b2.doc_id AS dst_id,
+             a.idx AS a_idx, a.pos AS a_pos, b2.pos AS b_pos, a.len AS len,
+             a.idx - b2.idx AS diag
+      FROM k a JOIN k b2 ON a.h = b2.h AND a.doc_id < b2.doc_id),
+i AS (SELECT *, a_idx - row_number() OVER
+        (PARTITION BY src_id, dst_id, diag ORDER BY a_idx) AS island FROM m),
+r AS (SELECT src_id, dst_id, diag, island,
+             CAST(sum(len) AS BIGINT) AS span_len,
+             CAST(min(a_pos) AS BIGINT) AS src_pos,
+             CAST(min(b_pos) AS BIGINT) AS dst_pos
+      FROM i GROUP BY 1, 2, 3, 4 HAVING sum(len) >= 128),
+best AS (SELECT *, row_number() OVER (PARTITION BY src_id, dst_id
+           ORDER BY span_len DESC, src_pos DESC, dst_pos DESC) AS rn FROM r)
+SELECT src_id, dst_id, span_len, src_pos, dst_pos FROM best WHERE rn = 1
+"""
 
 
 def q_pipeline_clusters(spark, sf_dir):
-    """O2 flagship pipeline end-to-end on the documents table."""
+    """O2 flagship pipeline end-to-end on the documents table. Oracle:
+    recursive-CTE connected components over the union of the exact-key
+    edges and the exact-Jaccard>=0.7 truth edges — the pipeline's pair
+    stages (exact, minhash-verified, simhash) are sound w.r.t. that
+    union and complete on this corpus, so the cluster partition
+    matches."""
     pages = documents_as_pages(spark, sf_dir)
     res = run_pipeline(spark, pages, include_substring=False)
     return res.clusters.select("doc_id", "cluster_id", "is_representative")
 
 
+SQL_PIPELINE_CLUSTERS = f"""
+WITH RECURSIVE
+kept AS (SELECT doc_id, text FROM documents
+         WHERE length(text) >= 32 AND length(text) <= 1000000
+           AND lang IN ('en','de','fr','es','zh')),
+ek AS (SELECT doc_id, md5({_NORM_SQL}) AS k FROM kept),
+ep AS (SELECT a.doc_id sa, b.doc_id sb FROM ek a JOIN ek b
+       ON a.k = b.k AND a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, {_SHINGLES_SQL} AS s FROM kept),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id da, b.doc_id db, count(*) c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jp AS (SELECT da sa, db sb
+       FROM inter
+       JOIN sz za ON da = za.doc_id
+       JOIN sz zb ON db = zb.doc_id
+       WHERE c * 1.0 / (za.n + zb.n - c) >= 0.7),
+e AS (SELECT sa a, sb b FROM ep UNION SELECT sb, sa FROM ep
+      UNION SELECT sa, sb FROM jp UNION SELECT sb, sa FROM jp),
+n AS (SELECT doc_id a FROM kept),
+reach(s, t) AS (SELECT a, a FROM n
+                UNION
+                SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a)
+SELECT s AS doc_id, min(t) AS cluster_id,
+       (s = min(t)) AS is_representative
+FROM reach GROUP BY s
+"""
+
+
 def q_greedy_survivors(spark, sf_dir):
     """D3 reference-compat mode: per-component greedy max-degree removal
     with deterministic tie-breaks (samples.cpp:534-577) over prefix-key
-    duplicate edges. Not SQL-expressible (iterative greedy)."""
+    duplicate edges. The iterative greedy is not SQL-expressible in
+    general, but equality edges make every component a CLIQUE, where the
+    greedy policy provably removes all but the max doc_id (each step
+    removes the smallest id among the max-degree clique members) — which
+    IS window-expressible, giving an exact oracle for the production
+    applyInPandas code."""
     d = _docs(spark, sf_dir).select("doc_id", _prefix().alias("k"))
     a = d.select(F.col("doc_id").alias("src_id"), "k")
     b = d.select(F.col("doc_id").alias("dst_id"), "k")
@@ -782,25 +1008,83 @@ def q_greedy_survivors(spark, sf_dir):
     return CC.greedy_survivors(edges)
 
 
+SQL_GREEDY_SURVIVORS = f"""
+WITH g AS (SELECT doc_id, {_PREFIX_SQL} AS k FROM documents),
+dup AS (SELECT k FROM g GROUP BY k HAVING count(*) >= 2)
+SELECT doc_id, doc_id <> max(doc_id) OVER (PARTITION BY k) AS removed
+FROM g WHERE k IN (SELECT k FROM dup)
+"""
+
+
+def _sql_minhash_fp(spark, sf_dir) -> DataFrame:
+    """(doc_id, minhash: array<long>) — 32-permutation MinHash whose
+    per-shingle hash is the cross-engine md5 primitive. Production uses
+    the numpy 128-permutation Arrow variant instead."""
+    sh = _distinct_shingles(_docs(spark, sf_dir))
+    aggs = [
+        F.min(md5_hash64(F.col("s"), seed=s)).alias(f"h{s}") for s in _MH32_SEEDS
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{s}" for s in _MH32_SEEDS]).alias("minhash")
+    )
+
+
 def q_near_remain_minhash(spark, sf_dir):
     """D6/D8 production path: drop docs (sources src0-4) that near-dup
-    any gallery doc under the 128-hash MinHash family (LSH candidates +
-    signature-estimate verify; broadcast gallery bands)."""
-    fp = _fingerprints(spark, sf_dir)
+    any gallery doc — LSH band candidates + signature-estimate verify +
+    left-anti existence semantics (operators/crosscorpus, the full
+    production code), over the cross-engine 32-hash signature so DuckDB
+    can replay band agreement AND the estimate threshold exactly."""
+    sig = _sql_minhash_fp(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "source")
-    fp = fp.join(d, "doc_id")
+    fp = sig.join(d, "doc_id")
     srcs = [f"src{i}" for i in range(5)]
     src_fp = fp.filter(F.col("source").isin(srcs))
     gal_fp = fp.filter(~F.col("source").isin(srcs))
     return XC.near_remain(
-        src_fp.select("doc_id"), src_fp, gal_fp, DEFAULT, broadcast_gallery=True
+        src_fp.select("doc_id"), src_fp, gal_fp, _MH32_CFG, broadcast_gallery=True
     )
+
+
+_MH32_MINS = ",\n  ".join(
+    f"min({duckdb_md5_hash64('s', s)}) AS h{s}" for s in _MH32_SEEDS
+)
+_MH32_BAND_COND = " OR ".join(
+    "("
+    + " AND ".join(f"s.h{_MH32_SEEDS[4 * j + i]} = g.h{_MH32_SEEDS[4 * j + i]}" for i in range(4))
+    + ")"
+    for j in range(8)
+)
+_MH32_EST = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN s.h{i} = g.h{i} THEN 1 ELSE 0 END)" for i in _MH32_SEEDS
+    )
+    + ") * 1.0 / 32"
+)
+SQL_NEAR_REMAIN_MINHASH = f"""
+WITH sh AS (SELECT DISTINCT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+sig AS (SELECT doc_id, {_MH32_MINS} FROM sh GROUP BY doc_id),
+j AS (SELECT sig.*, d.source FROM sig JOIN documents d USING (doc_id)),
+s_src AS (SELECT * FROM j WHERE source IN ('src0','src1','src2','src3','src4')),
+s_gal AS (SELECT * FROM j WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+SELECT s.doc_id FROM s_src s
+WHERE NOT EXISTS (
+  SELECT 1 FROM s_gal g
+  WHERE ({_MH32_BAND_COND})
+    AND {_MH32_EST} >= 0.7)
+"""
 
 
 def q_suffix_array_spans(spark, sf_dir):
     """Suffix-array substring mode: exact shared spans >= 128 bytes with
     positions (CDC chunk groups -> per-group suffix array + Kasai LCP).
-    The reference's unimplemented TODO (main.cpp:86-87)."""
+    The reference's unimplemented TODO (main.cpp:86-87). Genuinely
+    non-SQL-expressible (per-group suffix array construction), so this
+    stays a rows-only driver check; its correctness oracle is the pytest
+    byte-equality re-check of every emitted span
+    (tests/test_substring.py) plus the oracled chunk_run_spans twin."""
     return SUB.suffix_array_spans(_docs(spark, sf_dir), DEFAULT)
 
 
@@ -814,15 +1098,154 @@ def q_binary_meta(spark, sf_dir):
     return MM.binary_meta(pages)
 
 
+SQL_BINARY_META = """
+WITH p AS (SELECT doc_id,
+                  '<html><body>' || text || '</body></html>' AS payload
+           FROM documents)
+SELECT doc_id,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len,
+       md5(payload) AS content_md5,
+       CASE WHEN starts_with(payload, '<html') THEN 'html'
+            ELSE 'unknown' END AS format
+FROM p
+"""
+
+
+# Embeddings table contract (TESTDATA.md / FIXTURES.md): fixed-width
+# float vectors. Reading the width from a data row would put a driver
+# action inside query construction (round-1 finding); it is a schema
+# constant of the corpus.
+_EMB_DIM = 64
+_ANN_PLANES = 6
+_ANN_TABLES = 2
+_ANN_CAP = 24
+_ANN_K = 3
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
-    """ANN production path: hyperplane-LSH bucketed cosine top-k."""
+    """ANN production path: hyperplane-LSH bucketed cosine top-k with
+    multiprobe and per-table bucket caps (similarity.lsh_topk). The
+    plane matrices are deterministic literals, so DuckDB replays the
+    bucketing, the cap, the multiprobe expansion and the re-rank
+    exactly."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    dim = len(e.select("embedding").first()[0])
-    return SIM.lsh_topk(e, dim=dim, k=3, n_planes=6, n_tables=6).select(
-        "src_id", "dst_id", "rank", F.round("cos", 4).alias("cos")
+    return SIM.lsh_topk(
+        e,
+        dim=_EMB_DIM,
+        k=_ANN_K,
+        n_planes=_ANN_PLANES,
+        n_tables=_ANN_TABLES,
+        multiprobe=True,
+        bucket_cap=_ANN_CAP,
+    ).select("src_id", "dst_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def _ann_oracle_sql() -> str:
+    import numpy as np
+
+    per_table = []
+    for t in range(_ANN_TABLES):
+        rng = np.random.default_rng(0x5EED_0003 + 7919 * t)
+        planes = rng.standard_normal((_ANN_PLANES, _EMB_DIM))
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"[{', '.join(repr(x) for x in planes[i])}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(_ANN_PLANES)
+        )
+        probes = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_ANN_PLANES)]
+        )
+        per_table.append(
+            f"""sig{t} AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e),
+keep{t} AS (SELECT bucket FROM sig{t} GROUP BY bucket
+            HAVING count(*) <= {_ANN_CAP}),
+idx{t} AS (SELECT s.vec_id, s.bucket FROM sig{t} s
+           JOIN keep{t} k ON s.bucket = k.bucket),
+pr{t} AS (SELECT vec_id, unnest([{probes}]) AS bucket FROM sig{t}),
+cand{t} AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+            FROM pr{t} a JOIN idx{t} b ON a.bucket = b.bucket
+            WHERE a.vec_id <> b.vec_id)"""
+        )
+    cand_union = " UNION ALL ".join(
+        f"SELECT * FROM cand{t}" for t in range(_ANN_TABLES)
     )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{','.join(per_table)},
+cand AS (SELECT DISTINCT src_id, dst_id FROM ({cand_union})),
+scored AS (SELECT c.src_id, c.dst_id,
+                  list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+           FROM cand c
+           JOIN e ea ON c.src_id = ea.vec_id
+           JOIN e eb ON c.dst_id = eb.vec_id),
+r AS (SELECT src_id, dst_id, cos,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, dst_id ASC) AS rank
+      FROM scored)
+SELECT src_id, dst_id, rank, round(round(cos, 9), 4) AS cos
+FROM r WHERE rank <= {_ANN_K}
+"""
+
+
+SQL_EMBEDDING_LSH_TOPK = _ann_oracle_sql()
+
+
+def q_extraction_errors(spark, sf_dir):
+    """F3 analogue (catch_non_silent.py): error-capturing extraction
+    UDF html -> struct(text, error). A deterministic subset of payloads
+    (doc_id % 50 == 0) is truncated mid-wrapper to plant decode
+    failures; clean rows reproduce the text byte-identically (the
+    per-row invariant), failed rows carry a taxonomy code."""
+    from image_dedup_spark.operators import extraction as EXTR
+
+    pages = documents_as_pages(spark, sf_dir).select("doc_id", "html")
+    s = F.col("html").cast("string")
+    corrupted = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.substring(s, F.lit(1), F.length(s) - F.lit(10)),
+    ).otherwise(s)
+    pages = pages.select("doc_id", corrupted.cast("binary").alias("html"))
+    return EXTR.extract_text(pages).select("doc_id", "text", "error")
+
+
+SQL_EXTRACTION_ERRORS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 50 = 0 THEN NULL ELSE text END AS text,
+       CASE WHEN doc_id % 50 = 0 THEN 'missing_wrapper' END AS error
+FROM documents
+"""
+
+
+def q_hex_roundtrip(spark, sf_dir):
+    """P8 hex serde both ways: render array<long> -> hex (fp_to_hex,
+    big_int.hpp:75-85) and parse it back (hex_to_fp, big_int.hpp:40-60);
+    roundtrip_ok asserts the inverse property inside the engine while
+    the hex string itself is oracle-checked against DuckDB's renderer."""
+    d = _docs(spark, sf_dir)
+    fp = F.array(
+        md5_hash64(F.col("text"), seed=11), md5_hash64(F.col("text"), seed=12)
+    )
+    df = d.select("doc_id", fp.alias("fp"))
+    df = df.select("doc_id", "fp", fp_to_hex(F.col("fp")).alias("fp_hex"))
+    return df.select(
+        "doc_id",
+        "fp_hex",
+        (hex_to_fp(F.col("fp_hex"), 2) == F.col("fp")).alias("roundtrip_ok"),
+    )
+
+
+SQL_HEX_ROUNDTRIP = f"""
+SELECT doc_id,
+       lower(lpad(to_hex({duckdb_md5_hash64('text', 11)}), 16, '0')
+             || lpad(to_hex({duckdb_md5_hash64('text', 12)}), 16, '0')) AS fp_hex,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -852,17 +1275,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
-        # production Arrow-UDF paths (rows-only check)
+        # production paths (all oracled except suffix_array_spans; see
+        # the section comment above q_minhash_lsh_pairs)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "bruteforce_jaccard_pairs": q_bruteforce_jaccard_pairs,
         "cdc_substring_pairs": q_cdc_substring_pairs,
+        "chunk_run_spans": q_chunk_run_spans,
         "pipeline_clusters": q_pipeline_clusters,
         "greedy_survivors": q_greedy_survivors,
         "near_remain_minhash": q_near_remain_minhash,
         "binary_meta": q_binary_meta,
         "suffix_array_spans": q_suffix_array_spans,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "extraction_errors": q_extraction_errors,
+        "hex_roundtrip": q_hex_roundtrip,
     }
 
 
@@ -893,4 +1320,16 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "bruteforce_jaccard_pairs": SQL_BRUTEFORCE_JACCARD,
+        "cdc_substring_pairs": SQL_CDC_SUBSTRING_PAIRS,
+        "chunk_run_spans": SQL_CHUNK_RUN_SPANS,
+        "pipeline_clusters": SQL_PIPELINE_CLUSTERS,
+        "greedy_survivors": SQL_GREEDY_SURVIVORS,
+        "near_remain_minhash": SQL_NEAR_REMAIN_MINHASH,
+        "binary_meta": SQL_BINARY_META,
+        "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+        "extraction_errors": SQL_EXTRACTION_ERRORS,
+        "hex_roundtrip": SQL_HEX_ROUNDTRIP,
     }

@@ -123,15 +123,26 @@ def main() -> None:
         "q_cdc_substring_pairs",
         lambda: SUB.substring_dup_pairs(raw_docs, DEFAULT).count(),
     )
+    n_emb = 2000
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-        .limit(2000)
+        .limit(n_emb)
     )
-    dim = len(emb.select("embedding").first()[0])
+    # dim is the embeddings-table contract (TESTDATA.md fixed-width
+    # vectors); probing a data row for it would be a driver action inside
+    # query construction. n_planes scales with the corpus so bucket
+    # occupancy stays bounded at any size.
+    emb_dim = 64
     timed(
         "q_embedding_lsh_topk",
-        lambda: SIM.lsh_topk(emb, dim=dim, k=5, n_planes=8, n_tables=4).count(),
+        lambda: SIM.lsh_topk(
+            emb,
+            dim=emb_dim,
+            k=5,
+            n_planes=SIM.planes_for(n_emb, target_bucket=32),
+            n_tables=4,
+        ).count(),
     )
 
     dedup_sec = sum(

@@ -84,6 +84,23 @@ def cmd_gen_fp(spark, a):
 
 def cmd_dedup_near(spark, a):
     fp = _read(spark, a.input)
+    if a.verify == "exact":
+        # Fail fast on a fingerprint table written without --sketch:
+        # store_sketch=False emits empty shingle arrays while n_shingles
+        # keeps the true count, so exact-Jaccard verify would silently
+        # score every candidate 0 and emit zero pairs.
+        bad = (
+            fp.filter((F.col("n_shingles") > 0) & (F.size("shingles") == 0))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise SystemExit(
+                "dedup_near --verify exact needs shingle sketches, but the "
+                "input fingerprint table has empty 'shingles' arrays (it was "
+                "written by gen_fp without --sketch). Regenerate with "
+                "gen_fp --sketch, or use --verify estimate."
+            )
     mh = LSH.minhash_dup_pairs(fp, DEFAULT, mode=a.verify)
     sh = SB.simhash_dup_pairs(fp, DEFAULT)
     pairs = mh.unionByName(sh)
@@ -94,10 +111,14 @@ def cmd_dedup_near(spark, a):
 
 
 def cmd_merge(spark, a):
+    """Sequential left-fold over the incoming fingerprint tables, earlier
+    datasets' copies winning — the reference folds a LIST of datasets the
+    same way (/root/reference/image_deduper.cpp:143-157)."""
     acc = _read(spark, a.acc)
-    inc = _read(spark, a.incoming)
-    merged = XC.near_merge(acc, acc, inc, inc, DEFAULT)
-    _write(merged, a.output)
+    for path in a.incoming:
+        inc = _read(spark, path)
+        acc = XC.near_merge(acc, acc, inc, inc, DEFAULT)
+    _write(acc, a.output)
 
 
 def cmd_remain(spark, a):
@@ -159,7 +180,13 @@ def main(argv=None):
 
     sp = sub.add_parser("merge")
     sp.add_argument("--acc", required=True, help="accumulated fingerprint table")
-    sp.add_argument("--incoming", required=True)
+    sp.add_argument(
+        "--incoming",
+        required=True,
+        action="append",
+        help="incoming fingerprint table; repeat to fold several datasets "
+        "in order (earlier wins)",
+    )
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_merge)
 

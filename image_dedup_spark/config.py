@@ -60,7 +60,11 @@ class DedupConfig:
 
     # --- connected components --------------------------------------------
     cc_max_iterations: int = 50
-    cc_checkpoint_every: int = 3
+    # checkpoint + convergence-probe cadence: each probe is a driver
+    # barrier (round-1's worst scaling cost); with pointer jumping the
+    # shallow dup clusters converge in ~2 rounds, so probing every 2nd
+    # round detects the fixpoint with the fewest barrier+join total.
+    cc_checkpoint_every: int = 2
 
     extra: dict = field(default_factory=dict, compare=False)
 

@@ -43,6 +43,27 @@ def fp_to_hex(fp: Column) -> Column:
     )
 
 
+def hex_to_fp(col: Column, n_words: int) -> Column:
+    """Parse a hex fingerprint string back to array<long> — the inverse
+    of :func:`fp_to_hex` and the analogue of create_from_string_hex
+    (/root/reference/big_int.hpp:40-60), closing the text-format
+    interchange loop (round-trip: hex_to_fp(fp_to_hex(fp)) == fp).
+
+    ``conv(hex, 16, 10)`` yields the unsigned decimal string, which a
+    plain long cast nulls out for values >= 2^63; parsing each 16-hex
+    word as two 8-hex halves and recombining with shiftleft|bitwiseOR
+    reproduces the exact 64-bit pattern (shiftleft wraps bits, which is
+    the point)."""
+    idx = F.sequence(F.lit(0), F.lit(n_words - 1))
+
+    def word(i: Column) -> Column:
+        hi = F.conv(F.substring(col, i * 16 + 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(col, i * 16 + 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    return F.transform(idx, word)
+
+
 def md5_hash64(col: Column, seed: int = 0) -> Column:
     """Deterministic 60-bit hash of a string via md5 hex prefix.
 

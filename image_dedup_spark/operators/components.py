@@ -11,10 +11,17 @@ component, the representative (survivor) is that min doc — mirroring
 keep-first. A reference-compatible greedy survivor mode with
 deterministic tie-breaks is provided for parity checks.
 
-Scale notes: each iteration is one shuffle join; iterations needed =
-graph diameter (dup clusters are shallow). ``localCheckpoint`` every few
-iterations truncates lineage; convergence is detected by a changed-label
-count, so no driver-side graph materialization ever happens.
+Scale notes: each iteration is one shuffle join and pointer-jumping
+makes the round count O(log n); lineage is truncated and convergence
+probed only every ``cfg.cc_checkpoint_every`` rounds (each probe is a
+driver action — the measured scaling drag of round 1 — so batching
+probes trades <= probe_every-1 extra cheap rounds for far fewer
+barriers). Convergence = the label sum (as decimal(38,0), immune to
+64-bit wraparound on hash-derived ids) reaching its fixpoint; no
+driver-side graph materialization ever happens. When the SparkContext
+has a checkpoint dir set (``sc.setCheckpointDir``), reliable
+``checkpoint()`` is used instead of ``localCheckpoint`` — on a real
+cluster localCheckpoint blocks are lost with an executor.
 """
 
 from __future__ import annotations
@@ -24,6 +31,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from image_dedup_spark.config import DEFAULT, DedupConfig
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Reliable checkpoint when the context has a checkpoint dir (fault
+    tolerant on a cluster), localCheckpoint otherwise (local mode)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -39,12 +55,13 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    labels = (
+    labels = _truncate_lineage(
         e.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    probe_every = max(1, cfg.cc_checkpoint_every)
+    prev_sum = None
     for it in range(cfg.cc_max_iterations):
         nbr = (
             e.join(labels, e.b == labels.doc_id)
@@ -71,18 +88,22 @@ def connected_components(
                 F.coalesce("p_label", "cluster_id").alias("cluster_id"),
             )
         )
-        # localCheckpoint each round: the convergence probe below is an
-        # action anyway, and truncating lineage keeps later iterations from
-        # re-running the whole chain.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        # Min-propagation never increases a label, so the label sum is
-        # strictly decreasing until the fixpoint: one cheap aggregate per
-        # round replaces a join+count convergence probe.
-        label_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
         labels = new_labels
-        if it > 0 and label_sum == prev_sum:
-            break
-        prev_sum = label_sum
+        # Checkpoint + convergence probe only every probe_every rounds:
+        # each probe is a full driver barrier (the round-1 bench's worst
+        # scaling stage), while an extra converged round is one cheap
+        # no-change join. Min-propagation never increases a label, so the
+        # label sum is non-increasing until the fixpoint; summing as
+        # decimal(38,0) keeps the equality test exact even for 64-bit
+        # hash-derived ids that would wrap a BIGINT sum.
+        if (it + 1) % probe_every == 0 or it == cfg.cc_max_iterations - 1:
+            labels = _truncate_lineage(labels)
+            label_sum = labels.agg(
+                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+            ).first()[0]
+            if prev_sum is not None and label_sum == prev_sum:
+                break
+            prev_sum = label_sum
     return labels
 
 

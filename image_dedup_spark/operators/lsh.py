@@ -121,29 +121,55 @@ def verify_pairs(
     reference's popcount prefilter (samples.cpp:584-585): J >= t requires
     min(|A|,|B|)/max(|A|,|B|) >= t, so wildly different shingle counts
     are rejected before touching the arrays.
+
+    Two-phase join: candidates first meet only the slim
+    (doc_id, n_shingles) projection for the prefilter; the wide payload
+    arrays (128-int signatures / bottom-k sketches up to 32KB per row)
+    are attached ONLY to prefilter survivors. The filter references both
+    sides, so Catalyst cannot push it below a single wide join — phasing
+    it by hand keeps the heavy arrays out of the candidate shuffle
+    entirely (round-1 bench's worst verify cost).
     """
-    cols = ["doc_id", "n_shingles"] + (
-        ["shingles"] if mode == "exact" else ["minhash"]
+    slim = fingerprints.select("doc_id", "n_shingles")
+    pre = (
+        pairs.join(
+            slim.select(
+                F.col("doc_id").alias("src_id"),
+                F.col("n_shingles").alias("a_n_shingles"),
+            ),
+            "src_id",
+        )
+        .join(
+            slim.select(
+                F.col("doc_id").alias("dst_id"),
+                F.col("n_shingles").alias("b_n_shingles"),
+            ),
+            "dst_id",
+        )
+        .filter(
+            F.least("a_n_shingles", "b_n_shingles")
+            >= F.greatest("a_n_shingles", "b_n_shingles") * cfg.jaccard_threshold
+        )
     )
-    fp = fingerprints.select(*cols)
-    left = fp.select([F.col(c).alias(f"a_{c}") for c in fp.columns])
-    right = fp.select([F.col(c).alias(f"b_{c}") for c in fp.columns])
-    j = (
-        pairs.join(left, pairs.src_id == left.a_doc_id)
-        .join(right, pairs.dst_id == right.b_doc_id)
+    payload = "shingles" if mode == "exact" else "minhash"
+    j = pre.join(
+        fingerprints.select(
+            F.col("doc_id").alias("src_id"), F.col(payload).alias("a_payload")
+        ),
+        "src_id",
+    ).join(
+        fingerprints.select(
+            F.col("doc_id").alias("dst_id"), F.col(payload).alias("b_payload")
+        ),
+        "dst_id",
     )
-    prefilter = (
-        F.least("a_n_shingles", "b_n_shingles")
-        >= F.greatest("a_n_shingles", "b_n_shingles") * cfg.jaccard_threshold
-    )
-    j = j.filter(prefilter)
     if mode == "exact":
-        inter = F.size(F.array_intersect("a_shingles", "b_shingles"))
+        inter = F.size(F.array_intersect("a_payload", "b_payload"))
         union = F.col("a_n_shingles") + F.col("b_n_shingles") - inter
         score = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     else:
         score = _sig_jaccard_estimate(
-            F.col("a_minhash"), F.col("b_minhash"), cfg.num_hashes
+            F.col("a_payload"), F.col("b_payload"), cfg.num_hashes
         )
     return (
         j.withColumn("score", score)

@@ -34,7 +34,7 @@ BINARY_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("byte_len", T.LongType(), False),
-        T.StructField("content_sha1", T.StringType(), False),
+        T.StructField("content_md5", T.StringType(), False),
         T.StructField("format", T.StringType(), False),
     ]
 )
@@ -66,7 +66,10 @@ def sniff_format(b: bytes) -> str:
 def binary_meta(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "html"
 ) -> DataFrame:
-    """(doc_id, byte_len, content_sha1, format) for each binary payload."""
+    """(doc_id, byte_len, content_md5, format) for each binary payload.
+
+    md5 (not sha1) so the metadata row is reproducible by the DuckDB
+    oracle, which ships md5 but no sha1."""
 
     def _meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -77,8 +80,8 @@ def binary_meta(
                     "byte_len": payloads.map(
                         lambda b: len(b) if b is not None else 0
                     ).astype("int64"),
-                    "content_sha1": payloads.map(
-                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
                     "format": payloads.map(
                         lambda b: sniff_format(bytes(b or b""))

@@ -75,6 +75,17 @@ def hyperplane_signature(
     return df.withColumn("bucket", sig.cast("long"))
 
 
+def planes_for(n_rows: int, target_bucket: int = 64, floor: int = 6) -> int:
+    """Scale the signature width with corpus size so mean bucket
+    occupancy stays ~target_bucket: n_planes = log2(n / target). A fixed
+    n_planes makes intra-bucket work grow quadratically with the corpus
+    (the round-1 failure mode); callers pass an approximate row count
+    (exact precision is irrelevant — one plane halves occupancy)."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n_rows, 1) / max(target_bucket, 1))))
+
+
 def lsh_topk(
     df: DataFrame,
     dim: int,
@@ -82,6 +93,7 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     multiprobe: bool = True,
+    bucket_cap: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -89,17 +101,39 @@ def lsh_topk(
     n_tables independent hyperplane tables; exact cosine re-rank within
     candidates. Recall grows with n_tables; each table is an equi-join.
 
+    ``dim`` comes from the table contract/config (an embedding column's
+    element count is not in the parquet schema, and probing a row for it
+    would put a driver action inside query construction).
+
     ``multiprobe`` additionally probes every bucket at Hamming distance 1
     from the query's signature (Lv et al., VLDB'07): the query side emits
     n_planes+1 keys per table while the index side stays at 1, so the
     join stays an equi-join and the shuffle grows only linearly in
     n_planes — the cheap way to buy recall when true neighbours sit at
-    modest cosine (where exact-bucket collision probability is tiny)."""
+    modest cosine (where exact-bucket collision probability is tiny).
+
+    ``bucket_cap`` bounds the intra-bucket join: buckets holding more
+    than bucket_cap vectors (degenerate directions — near-duplicate
+    embedding farms, zero-ish vectors) are EXCLUDED from that table's
+    join, in both the index and probe sides. Unlike the pair-dedup star
+    fallback there is no semantics-preserving shortcut for top-k, so the
+    honest policy is drop-with-accounting (`lsh_bucket_stats`); the
+    same vectors are still reachable through the other n_tables-1
+    tables, whose hyperplanes split the crowd differently. Pair with
+    ``planes_for`` so caps only trigger on true degeneracy, not on
+    corpus growth."""
     cands = None
     for t in range(n_tables):
         sig = hyperplane_signature(
             df, dim, n_planes, seed=0x5EED_0003 + 7919 * t, vec_col=vec_col
         ).select(F.col(id_col), "bucket")
+        kept = (
+            sig.groupBy("bucket")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") <= bucket_cap)
+            .select("bucket")
+        )
+        b = sig.join(kept, "bucket")
         if multiprobe:
             probes = F.array(
                 F.col("bucket"),
@@ -113,7 +147,7 @@ def lsh_topk(
             )
         else:
             a = sig.select(F.col(id_col).alias("src_id"), "bucket")
-        b = sig.select(F.col(id_col).alias("dst_id"), "bucket")
+        b = b.select(F.col(id_col).alias("dst_id"), "bucket")
         p = a.join(b, "bucket").filter(F.col("src_id") != F.col("dst_id")).select(
             "src_id", "dst_id"
         )
@@ -134,3 +168,33 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("src_id", "dst_id", F.round("cos", 9).alias("cos"), "rank")
     )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    bucket_cap: int = 4096,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Accounting for capped ANN buckets (honesty metric, mirroring
+    lsh.bucket_stats): per (table, bucket) size and whether lsh_topk
+    excluded it from that table's join."""
+    out = None
+    for t in range(n_tables):
+        g = (
+            hyperplane_signature(
+                df, dim, n_planes, seed=0x5EED_0003 + 7919 * t, vec_col=vec_col
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("bucket_n"))
+            .select(
+                F.lit(t).alias("table_id"),
+                "bucket",
+                "bucket_n",
+                (F.col("bucket_n") > bucket_cap).alias("dropped"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

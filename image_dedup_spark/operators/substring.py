@@ -235,36 +235,46 @@ def suffix_array_spans(
         ),
         "chunk_hash",
     )
-    # one group per shared chunk; a doc pair sharing a >=min_span run
-    # shares at least one interior chunk, so it appears in some group
-    members = shared.select("chunk_hash", "doc_id").join(
+    # One group per DISTINCT doc-set, not per shared chunk: a long shared
+    # span yields many interior chunks all shared by the same doc set, and
+    # grouping per chunk would ship every member's full text once per
+    # chunk and rebuild the same suffix array per chunk. Collapsing to the
+    # distinct doc-set (group key = hash of the sorted member list) ships
+    # each text once per distinct co-occurrence set.
+    groups = (
+        shared.groupBy("chunk_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select("docs")
+        .distinct()
+        .select(F.xxhash64("docs").alias("grp_id"), F.explode("docs").alias("doc_id"))
+    )
+    members = groups.join(
         docs.select(F.col(id_col).alias("doc_id"), "text"), "doc_id"
     )
     min_span, max_bytes = cfg.cdc_min_span, cfg.max_text_bytes
-    spans = members.groupBy("chunk_hash").applyInPandas(
+    spans = members.groupBy("grp_id").applyInPandas(
         lambda pdf: _group_suffix_spans(pdf, min_span, max_bytes),
         schema=_SPAN_SCHEMA,
     )
-    # the same pair may surface from several chunk groups: keep the max
+    # The same pair may still surface from several doc-set groups (e.g.
+    # {A,B} and {A,B,C}): keep the best record ATOMICALLY via a struct
+    # max so span_len/src_pos/dst_pos always come from one group's record
+    # and the positions provably point at a matching span.
     return (
         spans.groupBy("src_id", "dst_id")
-        .agg(
-            F.max("span_len").alias("span_len"),
-            F.min("src_pos").alias("src_pos"),
-            F.min("dst_pos").alias("dst_pos"),
-        )
+        .agg(F.max(F.struct("span_len", "src_pos", "dst_pos")).alias("s"))
+        .select("src_id", "dst_id", "s.*")
     )
 
 
-def substring_dup_pairs(
-    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "doc_id"
-) -> DataFrame:
-    """(src_id, dst_id, score=shared bytes, stage='substring') for doc
-    pairs sharing >= cfg.cdc_min_span bytes of chunk-identical content.
+def chunk_pairs(ch: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(src_id, dst_id, score=shared bytes, stage='substring') from a
+    chunk inventory (doc_id, chunk_hash, pos, length) — the relational
+    half of the substring mode, shared by every chunker variant.
 
     Ubiquitous chunks (> bucket_cap docs — boilerplate) are dropped
     before pair expansion, same skew policy as the LSH buckets."""
-    ch = chunk_table(docs, cfg, id_col).dropDuplicates(["doc_id", "chunk_hash"])
+    ch = ch.dropDuplicates(["doc_id", "chunk_hash"])
     freq = ch.groupBy("chunk_hash").agg(F.count("*").alias("n_docs"))
     common = ch.join(
         freq.filter(
@@ -288,4 +298,141 @@ def substring_dup_pairs(
             F.col("shared_bytes").cast("double").alias("score"),
             F.lit("substring").alias("stage"),
         )
+    )
+
+
+def substring_dup_pairs(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "doc_id"
+) -> DataFrame:
+    """Production path: numpy CDC chunker (one Arrow pass) + chunk_pairs."""
+    return chunk_pairs(chunk_table(docs, cfg, id_col), cfg)
+
+
+def sql_chunk_table(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "doc_id",
+    seed: int = 0xCDC,
+) -> DataFrame:
+    """Chunk inventory via built-in Column expressions only — the
+    cross-engine-reproducible chunker variant (DuckDB computes the
+    identical table, so every downstream relational operator is
+    SQL-oracle-checkable end to end).
+
+    Same content-defined-anchor idea as the numpy chunker: a position is
+    an anchor iff the md5-derived 60-bit hash of the w-char window
+    starting there has its low ``cdc_mask_bits`` bits zero; chunks run
+    between consecutive anchor ends. Character positions (the testdata
+    is ASCII) instead of byte positions; md5 instead of the packed
+    rolling hash. The numpy chunker stays the fast production path."""
+    from image_dedup_spark.functions.hashing import md5_hash64
+
+    w = cfg.cdc_window
+    mask = (1 << cfg.cdc_mask_bits) - 1
+    n = F.length("text")
+    starts = F.sequence(F.lit(1), n - F.lit(w - 1))  # 1-based window starts
+    anchor_ends = F.filter(
+        starts,
+        lambda i: md5_hash64(F.substring(F.col("text"), i, w), seed=seed)
+        .bitwiseAND(F.lit(mask))
+        == 0,
+    )
+    bounds = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0)),
+                F.transform(anchor_ends, lambda i: i + F.lit(w - 1)),
+                F.array(n),
+            )
+        )
+    )
+    bounds = F.when(n >= w, bounds).otherwise(F.array(F.lit(0), n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            F.md5(
+                F.substring(
+                    F.col("text"),
+                    F.element_at(bounds, j) + 1,
+                    F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                )
+            ).alias("chunk_hash"),
+            F.element_at(bounds, j).alias("pos"),
+            (F.element_at(bounds, j + 1) - F.element_at(bounds, j)).alias(
+                "length"
+            ),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col("text"), chunks.alias("ch"))
+        .select("doc_id", F.explode("ch").alias("c"))
+        .filter(F.col("c.length") > 0)
+        .select("doc_id", "c.chunk_hash", "c.pos", "c.length")
+    )
+
+
+def chunk_run_spans(
+    ch: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """Exact shared spans as maximal runs of CONSECUTIVE matching chunks
+    — the fully relational substring-span path (no suffix array, no
+    grouped-map UDF): chunks partition each doc, so a run of adjacent
+    chunk indices matching along one diagonal (src_idx - dst_idx
+    constant) is a verbatim shared byte span. Classic gaps-and-islands
+    over the chunk-match join; every operator is a shuffle on chunk
+    hashes or a window over (pair, diagonal) — this is the shape that
+    scales to 100 TB, and it is SQL-oracle-checkable.
+
+    Returns (src_id, dst_id, span_len, src_pos, dst_pos): the best run
+    per pair (>= cfg.cdc_min_span), whole record kept atomically via a
+    struct max. Span boundaries are quantized to chunk boundaries
+    (~2^cdc_mask_bits bytes), vs the suffix-array mode's byte-exact
+    spans — the tradeoff for a pure-relational plan."""
+    from pyspark.sql import Window
+
+    freq = (
+        ch.select("doc_id", "chunk_hash")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    kept = ch.join(
+        freq.filter(
+            (F.col("n_docs") > 1) & (F.col("n_docs") <= cfg.bucket_cap)
+        ).select("chunk_hash"),
+        "chunk_hash",
+    )
+    idx_w = Window.partitionBy("doc_id").orderBy("pos")
+    c = kept.withColumn("idx", F.row_number().over(idx_w))
+    a = c.select(
+        "chunk_hash",
+        F.col("doc_id").alias("src_id"),
+        F.col("idx").alias("a_idx"),
+        F.col("pos").alias("a_pos"),
+        F.col("length").alias("len"),
+    )
+    b = c.select(
+        "chunk_hash",
+        F.col("doc_id").alias("dst_id"),
+        F.col("idx").alias("b_idx"),
+        F.col("pos").alias("b_pos"),
+    )
+    m = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .withColumn("diag", F.col("a_idx") - F.col("b_idx"))
+    )
+    isl_w = Window.partitionBy("src_id", "dst_id", "diag").orderBy("a_idx")
+    runs = (
+        m.withColumn("island", F.col("a_idx") - F.row_number().over(isl_w))
+        .groupBy("src_id", "dst_id", "diag", "island")
+        .agg(
+            F.sum("len").alias("span_len"),
+            F.min("a_pos").alias("src_pos"),
+            F.min("b_pos").alias("dst_pos"),
+        )
+        .filter(F.col("span_len") >= cfg.cdc_min_span)
+    )
+    return (
+        runs.groupBy("src_id", "dst_id")
+        .agg(F.max(F.struct("span_len", "src_pos", "dst_pos")).alias("s"))
+        .select("src_id", "dst_id", "s.*")
     )

@@ -43,6 +43,34 @@ from image_dedup_spark.operators import (
 )
 from image_dedup_spark.sources import io as IO
 
+# Bump whenever stage names, stage order, or stage output schemas change:
+# resuming a checkpoint dir written by a different layout must refuse
+# rather than silently mix old-flow stage outputs with recomputed ones
+# (stage names were renumbered and the minhash dtype changed long->int32
+# between layouts 1 and 2).
+PIPELINE_FORMAT = "2"
+
+
+def _check_format_marker(checkpoint_dir: str | None) -> None:
+    if not checkpoint_dir:
+        return
+    import os
+
+    marker = os.path.join(checkpoint_dir, "_PIPELINE_FORMAT")
+    if os.path.exists(marker):
+        found = open(marker).read().strip()
+        if found != PIPELINE_FORMAT:
+            raise RuntimeError(
+                f"checkpoint dir {checkpoint_dir} was written by pipeline "
+                f"format {found!r}, current is {PIPELINE_FORMAT!r}; wipe the "
+                "directory (or point at a fresh one) instead of resuming "
+                "across incompatible stage layouts"
+            )
+    else:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(PIPELINE_FORMAT)
+
 
 @dataclass
 class PipelineResult:
@@ -75,6 +103,7 @@ def run_pipeline(
     include_substring: bool = False,
     verify_mode: str = "exact",
 ) -> PipelineResult:
+    _check_format_marker(checkpoint_dir)
     metrics: list[dict] = []
 
     def stage(name: str, build) -> DataFrame:

@@ -9,17 +9,47 @@ argv — /root/reference/image_deduper.cpp:95-102).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def _local_dir() -> str:
-    """tmpfs-backed scratch for shuffle/spill when the host has one."""
+    """tmpfs-backed scratch for shuffle/spill — but only when the tmpfs
+    actually has headroom (shuffle spill on a RAM-backed fs turns disk
+    pressure into OOM on small hosts), and with stale per-process dirs
+    reaped so repeated runs don't accumulate RAM. Opt out entirely with
+    SPARK_GRAFT_NO_TMPFS=1."""
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "spark_local")
-        os.makedirs(d, exist_ok=True)
-        return d
+    if (
+        os.environ.get("SPARK_GRAFT_NO_TMPFS") != "1"
+        and os.path.isdir(shm)
+        and os.access(shm, os.W_OK)
+    ):
+        st = os.statvfs(shm)
+        free_bytes = st.f_bavail * st.f_frsize
+        if free_bytes >= 8 * 1024**3:
+            base = os.path.join(shm, "spark_local")
+            os.makedirs(base, exist_ok=True)
+            # reap dirs left by dead processes (localCheckpoint/shuffle
+            # files are only meaningful within their owning JVM's life)
+            for entry in os.listdir(base):
+                p = os.path.join(base, entry)
+                if entry.isdigit() and not _pid_alive(int(entry)):
+                    shutil.rmtree(p, ignore_errors=True)
+            d = os.path.join(base, str(os.getpid()))
+            os.makedirs(d, exist_ok=True)
+            return d
     return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
 
 

@@ -41,3 +41,26 @@ def test_cli_filter_dedup_exact_roundtrip(spark, corpus, tmp_path_factory):
     clusters = spark.read.parquet(f"{root}/clusters")
     assert clusters.count() == surv.count()
     assert {"cluster_id", "is_representative"} <= set(clusters.columns)
+
+
+def test_cli_merge_folds_multiple_incoming_earlier_wins(spark, tmp_path_factory):
+    """Reference merge semantics (image_deduper.cpp:143-157): datasets
+    fold left in CLI order and EARLIER datasets' copies win."""
+    root = str(tmp_path_factory.mktemp("mergefold"))
+
+    def mk(name, items):
+        df = spark.createDataFrame(
+            [(i, [v] * 128) for i, v in items], "doc_id long, minhash array<int>"
+        )
+        df.write.mode("overwrite").parquet(f"{root}/{name}")
+        return f"{root}/{name}"
+
+    a = mk("acc", [(1, 10), (2, 20)])
+    b = mk("b", [(11, 10), (12, 30)])  # 11 duplicates acc's 1 -> dropped
+    c = mk("c", [(21, 30), (22, 40)])  # 21 duplicates b's kept 12 -> dropped
+    assert main([
+        "merge", "--acc", a, "--incoming", b, "--incoming", c,
+        "--output", f"{root}/out",
+    ]) == 0
+    got = {r.doc_id for r in spark.read.parquet(f"{root}/out").collect()}
+    assert got == {1, 2, 12, 22}

@@ -124,3 +124,26 @@ def test_fingerprints_deterministic_and_sane():
     u1, u2 = shingle_hashes(t1), shingle_hashes(t2)
     assert 0.5 < exact_jaccard(u1, u2) < 1.0
     assert exact_jaccard(u1, u1) == 1.0
+
+
+def test_hex_roundtrip_including_negative_words(spark):
+    """P8 serde both ways (big_int.hpp:40-60, 75-85): parse(render(fp))
+    reproduces the exact 64-bit patterns, including sign-bit words."""
+    import pyspark.sql.functions as F
+
+    from image_dedup_spark.functions.hashing import fp_to_hex, hex_to_fp
+
+    rows = [
+        (1, [0, -1, 2**63 - 1, -(2**63), 123456789]),
+        (2, [5, -42, 7, 0x0123456789ABCDEF, -(2**32)]),
+    ]
+    df = spark.createDataFrame(rows, "id long, fp array<long>")
+    out = df.select(
+        "id",
+        fp_to_hex(F.col("fp")).alias("hx"),
+        (hex_to_fp(fp_to_hex(F.col("fp")), 5) == F.col("fp")).alias("ok"),
+    ).collect()
+    assert all(r.ok for r in out)
+    by_id = {r.id: r.hx for r in out}
+    assert by_id[1].startswith("0000000000000000" + "f" * 16)
+    assert len(by_id[1]) == 5 * 16

@@ -20,10 +20,10 @@ def test_binary_meta(spark):
     assert got[1].format == "html" and got[2].format == "jpeg"
     assert got[3].format == "png" and got[4].format == "unknown"
     assert got[1].byte_len == 28 and got[4].byte_len == 0
-    assert len(got[2].content_sha1) == 40
+    assert len(got[2].content_md5) == 32
     # deterministic across runs
-    again = {r.doc_id: r.content_sha1 for r in MM.binary_meta(_pages(spark)).collect()}
-    assert again == {k: v.content_sha1 for k, v in got.items()}
+    again = {r.doc_id: r.content_md5 for r in MM.binary_meta(_pages(spark)).collect()}
+    assert again == {k: v.content_md5 for k, v in got.items()}
 
 
 def test_decode_stub_deterministic(spark):

@@ -60,3 +60,16 @@ def test_pipeline_resume_idempotent(spark, corpus, tmp_path_factory):
     lineage = spark.read.parquet(f"{ckpt}/_lineage/03_fingerprints")
     fp_rows = {m["stage"]: m["rows_out"] for m in r1.metrics}["03_fingerprints"]
     assert lineage.agg(F.sum("count")).first()[0] == fp_rows
+
+
+def test_pipeline_refuses_mismatched_checkpoint_format(spark, corpus, tmp_path_factory):
+    import pytest
+
+    from image_dedup_spark.plans.pipeline import run_pipeline
+
+    pages, _ = corpus
+    root = str(tmp_path_factory.mktemp("ckpt_fmt"))
+    with open(f"{root}/_PIPELINE_FORMAT", "w") as fh:
+        fh.write("0-legacy")
+    with pytest.raises(RuntimeError, match="pipeline *format|format"):
+        run_pipeline(spark, pages, checkpoint_dir=root)

@@ -40,3 +40,23 @@ def test_lsh_topk_recall(spark):
     a = {(r.src_id, r.dst_id) for r in approx.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.5, recall  # approximate path finds most neighbours
+
+
+def test_lsh_topk_bucket_cap_drops_degenerate_buckets(spark):
+    """All-identical vectors collapse into one bucket per table; with the
+    bucket over the cap the intra-bucket join is skipped entirely (the
+    round-1 quadratic blowup), with a generous cap it proceeds."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = SIM.lsh_topk(df, dim=4, k=3, n_planes=4, n_tables=2, bucket_cap=10)
+    assert capped.count() == 0
+    uncapped = SIM.lsh_topk(df, dim=4, k=3, n_planes=4, n_tables=2, bucket_cap=100)
+    assert uncapped.count() > 0
+    stats = SIM.lsh_bucket_stats(df, dim=4, n_planes=4, n_tables=2, bucket_cap=10)
+    assert stats.filter("dropped").count() == 2  # one degenerate bucket per table
+
+
+def test_planes_for_scales_with_corpus():
+    assert SIM.planes_for(10**6, target_bucket=64) == 14
+    assert SIM.planes_for(4 * 10**6, target_bucket=64) == 16
+    assert SIM.planes_for(100, target_bucket=64) == 6  # floor
