@@ -140,7 +140,7 @@ def main() -> None:
             emb,
             dim=emb_dim,
             k=5,
-            n_planes=SIM.planes_for(n_emb, target_bucket=32),
+            n_planes=SIM.planes_for(n_emb, target_bucket=8),
             n_tables=4,
         ).count(),
     )

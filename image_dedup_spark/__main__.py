@@ -59,6 +59,20 @@ def _fp(df, store_sketch=False):
     )
 
 
+def cmd_extract(spark, a):
+    """Error-capturing html->text extraction (reference
+    catch_non_silent.py flow): clean rows out, failures quarantined with
+    a taxonomy code — nothing silently dropped."""
+    from image_dedup_spark.operators import extraction as EXTR
+
+    pages = _read(spark, a.input)
+    ex = EXTR.extract_text(pages)
+    clean, quar = EXTR.split_quarantine(ex)
+    _write(clean, a.output)
+    if a.quarantine:
+        _write(quar, a.quarantine)
+
+
 def cmd_filter(spark, a):
     pages = _read(spark, a.input)
     _write(Q.keep(pages, DEFAULT), a.output)
@@ -147,6 +161,12 @@ def cmd_pipeline(spark, a):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="image_dedup_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("extract")
+    sp.add_argument("--input", required=True, help="pages table with html column")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--quarantine")
+    sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("filter")
     sp.add_argument("--input", required=True)

@@ -50,7 +50,10 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex appearing in `edges`.
     cluster_id = min doc_id in the component."""
-    e = (
+    # Pin the symmetrized edge table: every probe is its own Spark job,
+    # and an unpinned `e` would replay the union+distinct shuffle each
+    # round (shuffle reuse does not cross job boundaries).
+    e = _truncate_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()

@@ -64,3 +64,18 @@ def test_cli_merge_folds_multiple_incoming_earlier_wins(spark, tmp_path_factory)
     ]) == 0
     got = {r.doc_id for r in spark.read.parquet(f"{root}/out").collect()}
     assert got == {1, 2, 12, 22}
+
+
+def test_cli_extract_quarantines_malformed(spark, corpus, tmp_path_factory):
+    pages, truth = corpus
+    root = str(tmp_path_factory.mktemp("extract"))
+    pages.write.mode("overwrite").parquet(f"{root}/pages")
+    assert main([
+        "extract", "--input", f"{root}/pages",
+        "--output", f"{root}/clean", "--quarantine", f"{root}/quar",
+    ]) == 0
+    clean = spark.read.parquet(f"{root}/clean")
+    quar = spark.read.parquet(f"{root}/quar")
+    assert clean.count() + quar.count() == pages.count()
+    assert quar.filter(F.col("error").isNull()).count() == 0
+    assert quar.count() > 0
