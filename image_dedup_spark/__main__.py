@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from image_dedup_spark.config import DEFAULT
 from image_dedup_spark.functions.fingerprints import make_fingerprint_udf
 from image_dedup_spark.operators import components as CC
+from image_dedup_spark.sources import catalog as CAT
 from image_dedup_spark.operators import crosscorpus as XC
 from image_dedup_spark.operators import exact as EX
 from image_dedup_spark.operators import lsh as LSH
@@ -41,11 +42,14 @@ from image_dedup_spark.session import get_spark
 
 
 def _read(spark, path):
-    return spark.read.parquet(path)
+    # Accepts either a parquet directory or an Iceberg table identifier
+    # (db.table) when the session has a catalog configured — the
+    # deployment path for Common-Crawl-style inputs.
+    return CAT.read_table(spark, path)
 
 
 def _write(df, path):
-    df.write.mode("overwrite").parquet(path)
+    CAT.write_table(df, path, mode="overwrite")
 
 
 def _fp(df, store_sketch=False):
@@ -151,10 +155,10 @@ def cmd_pipeline(spark, a):
         include_substring=a.substring,
         verify_mode=a.verify,
     )
-    _write(res.clusters, f"{a.output}/clusters")
-    _write(res.survivors, f"{a.output}/survivors")
-    _write(res.pairs, f"{a.output}/pairs")
-    _write(res.quarantine, f"{a.output}/quarantine")
+    _write(res.clusters, CAT.sub_target(a.output, "clusters"))
+    _write(res.survivors, CAT.sub_target(a.output, "survivors"))
+    _write(res.pairs, CAT.sub_target(a.output, "pairs"))
+    _write(res.quarantine, CAT.sub_target(a.output, "quarantine"))
     print(json.dumps(res.metrics))
 
 

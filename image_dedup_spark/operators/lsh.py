@@ -122,47 +122,76 @@ def verify_pairs(
     min(|A|,|B|)/max(|A|,|B|) >= t, so wildly different shingle counts
     are rejected before touching the arrays.
 
-    Two-phase join: candidates first meet only the slim
-    (doc_id, n_shingles) projection for the prefilter; the wide payload
-    arrays (128-int signatures / bottom-k sketches up to 32KB per row)
-    are attached ONLY to prefilter survivors. The filter references both
-    sides, so Catalyst cannot push it below a single wide join — phasing
-    it by hand keeps the heavy arrays out of the candidate shuffle
-    entirely (round-1 bench's worst verify cost).
+    Join shape is payload-dependent (both shapes measured at 5M docs):
+
+    * ``exact`` — two-phase: candidates first meet only the slim
+      (doc_id, n_shingles) projection for the prefilter; the wide
+      bottom-k sketches (up to 32KB per row) are attached ONLY to
+      prefilter survivors. The filter references both sides, so Catalyst
+      cannot push it below a single wide join — phasing it by hand keeps
+      the heavy arrays out of the candidate shuffle.
+    * ``estimate`` — single-phase: the payload is a 128×int32 signature
+      (~512B), cheaper to ship once than to pay two extra shuffle joins
+      for a prefilter that rejects few candidates (band-collided docs
+      mostly have similar shingle counts; measured 2.8× slower as
+      two-phase at 5M docs / 4 cores). The same prefilter predicate
+      still applies — inline, after one join per side.
     """
-    slim = fingerprints.select("doc_id", "n_shingles")
-    pre = (
-        pairs.join(
-            slim.select(
-                F.col("doc_id").alias("src_id"),
-                F.col("n_shingles").alias("a_n_shingles"),
+    payload = "shingles" if mode == "exact" else "minhash"
+    prefilter = (
+        F.least("a_n_shingles", "b_n_shingles")
+        >= F.greatest("a_n_shingles", "b_n_shingles") * cfg.jaccard_threshold
+    )
+    if mode == "exact":
+        slim = fingerprints.select("doc_id", "n_shingles")
+        pre = (
+            pairs.join(
+                slim.select(
+                    F.col("doc_id").alias("src_id"),
+                    F.col("n_shingles").alias("a_n_shingles"),
+                ),
+                "src_id",
+            )
+            .join(
+                slim.select(
+                    F.col("doc_id").alias("dst_id"),
+                    F.col("n_shingles").alias("b_n_shingles"),
+                ),
+                "dst_id",
+            )
+            .filter(prefilter)
+        )
+        j = pre.join(
+            fingerprints.select(
+                F.col("doc_id").alias("src_id"), F.col(payload).alias("a_payload")
             ),
             "src_id",
-        )
-        .join(
-            slim.select(
-                F.col("doc_id").alias("dst_id"),
-                F.col("n_shingles").alias("b_n_shingles"),
+        ).join(
+            fingerprints.select(
+                F.col("doc_id").alias("dst_id"), F.col(payload).alias("b_payload")
             ),
             "dst_id",
         )
-        .filter(
-            F.least("a_n_shingles", "b_n_shingles")
-            >= F.greatest("a_n_shingles", "b_n_shingles") * cfg.jaccard_threshold
+    else:
+        j = (
+            pairs.join(
+                fingerprints.select(
+                    F.col("doc_id").alias("src_id"),
+                    F.col("n_shingles").alias("a_n_shingles"),
+                    F.col(payload).alias("a_payload"),
+                ),
+                "src_id",
+            )
+            .join(
+                fingerprints.select(
+                    F.col("doc_id").alias("dst_id"),
+                    F.col("n_shingles").alias("b_n_shingles"),
+                    F.col(payload).alias("b_payload"),
+                ),
+                "dst_id",
+            )
+            .filter(prefilter)
         )
-    )
-    payload = "shingles" if mode == "exact" else "minhash"
-    j = pre.join(
-        fingerprints.select(
-            F.col("doc_id").alias("src_id"), F.col(payload).alias("a_payload")
-        ),
-        "src_id",
-    ).join(
-        fingerprints.select(
-            F.col("doc_id").alias("dst_id"), F.col(payload).alias("b_payload")
-        ),
-        "dst_id",
-    )
     if mode == "exact":
         inter = F.size(F.array_intersect("a_payload", "b_payload"))
         union = F.col("a_n_shingles") + F.col("b_n_shingles") - inter
