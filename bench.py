@@ -123,12 +123,17 @@ def main() -> None:
         "q_cdc_substring_pairs",
         lambda: SUB.substring_dup_pairs(raw_docs, DEFAULT).count(),
     )
-    n_emb = 2000
+    # full embeddings table, repartitioned to the core count and pinned:
+    # a limit() here would put a single-partition GlobalLimit exchange
+    # under every consumer of the plan (the round-1 bench's negative-
+    # scaling query), and the input belongs in prep, not the timing.
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-        .limit(n_emb)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
+    n_emb = emb.count()
     # dim is the embeddings-table contract (TESTDATA.md fixed-width
     # vectors); probing a data row for it would be a driver action inside
     # query construction. n_planes scales with the corpus so bucket

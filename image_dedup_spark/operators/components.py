@@ -58,13 +58,29 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # Warm start: label(v) = min(v, min neighbor) — the result round 1
+    # would produce, folded into the same shuffle the old doc_id-distinct
+    # init already paid. Dup-pair graphs are shallow (exact-dup stars,
+    # small near-dup clumps), so most vertices are already converged
+    # after this and the loop typically needs only 1-2 confirming rounds.
     labels = _truncate_lineage(
-        e.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        e.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("min_nbr"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("min_nbr")).alias("cluster_id"),
+        )
     )
     probe_every = max(1, cfg.cc_checkpoint_every)
-    prev_sum = None
+    # Seed the convergence probe with the warm-start label sum (labels is
+    # already materialized, so this is one cheap agg-only job). Combined
+    # with probing after round 1, a graph the warm start fully converged
+    # (stars and cliques — the shape of real dup graphs) exits after a
+    # single confirming round instead of running probe_every rounds.
+    # Deeper graphs fall back to the batched probe cadence.
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    ).first()[0]
     for it in range(cfg.cc_max_iterations):
         nbr = (
             e.join(labels, e.b == labels.doc_id)
@@ -99,7 +115,11 @@ def connected_components(
         # label sum is non-increasing until the fixpoint; summing as
         # decimal(38,0) keeps the equality test exact even for 64-bit
         # hash-derived ids that would wrap a BIGINT sum.
-        if (it + 1) % probe_every == 0 or it == cfg.cc_max_iterations - 1:
+        if (
+            it == 0
+            or (it + 1) % probe_every == 0
+            or it == cfg.cc_max_iterations - 1
+        ):
             labels = _truncate_lineage(labels)
             label_sum = labels.agg(
                 F.sum(F.col("cluster_id").cast("decimal(38,0)"))

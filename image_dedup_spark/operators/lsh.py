@@ -56,9 +56,17 @@ def candidate_pairs(
     # bucket_n >= 2: singleton buckets (the vast majority of band keys)
     # cannot produce a pair — dropping them before the self-join removes
     # most of the join's input instead of hashing it twice for nothing.
-    small = sized.filter(
-        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= cfg.bucket_cap)
-    )
+    #
+    # Cache the filtered table: it feeds THREE consumers (both sides of
+    # the self-join and the star branch), whose projections alias columns
+    # differently, so Catalyst's ReuseExchange never fires and the whole
+    # scan→explode→window subtree would otherwise execute three times
+    # (measured: ~2× the stage's CPU at 1M docs). The cached table holds
+    # only non-singleton band rows — a small fraction of the band table —
+    # and on a cluster the pipeline materializes band tables per stage
+    # anyway (plans/pipeline.py), where this cache is a no-op overlap.
+    nonsingleton = sized.filter(F.col("bucket_n") >= 2).cache()
+    small = nonsingleton.filter(F.col("bucket_n") <= cfg.bucket_cap)
     a = small.select("band_key", F.col("doc_id").alias("src_id"))
     bb = small.select("band_key", F.col("doc_id").alias("dst_id"))
     small_pairs = a.join(bb, "band_key").filter(
@@ -66,7 +74,7 @@ def candidate_pairs(
     )
 
     big_pairs = (
-        sized.filter(
+        nonsingleton.filter(
             (F.col("bucket_n") > cfg.bucket_cap)
             & (F.col("doc_id") != F.col("bucket_min"))
         )
