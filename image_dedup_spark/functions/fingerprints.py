@@ -81,10 +81,15 @@ def shingle_hashes(text: str, cfg: DedupConfig = DEFAULT) -> np.ndarray:
     if len(b) < w:
         b = b.ljust(w, b"\x00")
     a = np.frombuffer(b, dtype=np.uint8)
-    windows = np.lib.stride_tricks.sliding_window_view(a, w)
-    pw = _U64(256) ** np.arange(w, dtype=_U64)
+    n = len(a) - w + 1
+    # Horner evaluation of sum(byte[i+j] * 256^j): w passes over one
+    # uint64 accumulator instead of materializing an (n, w) uint64
+    # window matrix (8x the text in RAM and the kernel's largest temp).
+    packed = np.zeros(n, dtype=_U64)
     with np.errstate(over="ignore"):
-        packed = (windows.astype(_U64) * pw).sum(axis=1, dtype=_U64)
+        for j in range(w - 1, -1, -1):
+            packed <<= _U64(8)
+            packed += a[j : j + n]
     u = np.unique(packed)
     u = splitmix64(u)
     u.sort()
@@ -95,41 +100,85 @@ def shingle_hashes(text: str, cfg: DedupConfig = DEFAULT) -> np.ndarray:
     return u
 
 
+# Little-endian is assumed by the unpackbits fast path below (uint64 ->
+# byte view); every platform this runs on (x86-64, arm64) is LE, and the
+# slow path keeps the kernel correct elsewhere.
+_LITTLE = __import__("sys").byteorder == "little"
+# Block size for the shingle loop: per-block temporaries stay
+# ~(BLOCK, k)*8B = 512KiB — cache-resident instead of one flat
+# (n_shingles, k) uint64 pass (~1.5MB+ per doc per family). Measured
+# (16-process contention microbench): ~20-35% faster per worker than
+# the round-1 unblocked kernel, best at 512 among {128,256,512,1024}.
+_BLOCK = 512
+
+
+def _fingerprint_core(
+    u: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    offs: np.ndarray,
+    shifts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(minhash int32[k], simhash int64[n_words]) for one doc's shingle
+    set — blocked so per-block temporaries stay cache-resident. Min is
+    associative and the bit counts are plain sums, so the result is
+    bit-identical to the unblocked round-1 kernel (and to the DuckDB
+    oracle's replay of the same arithmetic)."""
+    k = len(a)
+    n_words = len(offs)
+    n = len(u)
+    mins = np.full(k, np.iinfo(np.uint64).max, dtype=_U64)
+    bitcnt = np.zeros((n_words, 64), dtype=np.int64)
+    for s in range(0, n, _BLOCK):
+        ub = u[s : s + _BLOCK]
+        vals = ub[:, None] * a[None, :]
+        vals += b[None, :]
+        np.minimum(mins, vals.min(axis=0), out=mins)
+        for j in range(n_words):
+            v = splitmix64(ub + offs[j])
+            if _LITTLE:
+                bitcnt[j] += np.unpackbits(
+                    v.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).sum(axis=0, dtype=np.int64)
+            else:
+                bitcnt[j] += (
+                    (v[:, None] >> shifts[None, :]) & _U64(1)
+                ).sum(axis=0, dtype=np.int64)
+    minhash = (mins >> _U64(32)).astype(np.int64).astype(np.int32)
+    # bit set iff strictly more than half the shingles set it (exact
+    # integer form of the old float `bits > n/2` comparison)
+    words = np.empty(n_words, dtype=np.int64)
+    for j in range(n_words):
+        mask = (2 * bitcnt[j]) > n
+        words[j] = (
+            (mask.astype(_U64) << shifts).sum(dtype=_U64).astype(np.int64)
+        )
+    return minhash, words
+
+
 def minhash_signature_batch(
     texts: pd.Series, cfg: DedupConfig = DEFAULT
 ) -> list[np.ndarray]:
     a, b = _permutation_params(cfg.num_hashes, cfg.minhash_seed)
-    out = []
-    with np.errstate(over="ignore"):
-        for t in texts:
-            u = shingle_hashes(t or "", cfg)
-            # (n, k) multiply-shift values; min over shingles per hash fn,
-            # then high-32-bit truncation (same post-map as the UDF)
-            vals = u[:, None] * a[None, :] + b[None, :]
-            out.append(
-                (vals.min(axis=0) >> _U64(32)).astype(np.int64).astype(np.int32)
-            )
-    return out
-
-
-def simhash_batch(texts: pd.Series, cfg: DedupConfig = DEFAULT) -> list[np.ndarray]:
-    n_words = cfg.simhash_bits // 64
-    offs = _stream_offsets(n_words, cfg.simhash_seed)
+    offs = _stream_offsets(cfg.simhash_bits // 64, cfg.simhash_seed)
     shifts = np.arange(64, dtype=_U64)
     out = []
     with np.errstate(over="ignore"):
         for t in texts:
             u = shingle_hashes(t or "", cfg)
-            words = np.empty(n_words, dtype=np.int64)
-            half = len(u) / 2.0
-            for j in range(n_words):
-                v = splitmix64(u + offs[j])
-                bits = ((v[:, None] >> shifts[None, :]) & _U64(1)).sum(axis=0)
-                word = _U64(0)
-                set_mask = bits > half
-                word = (set_mask.astype(_U64) << shifts).sum(dtype=_U64)
-                words[j] = word.astype(np.int64)
-            out.append(words)
+            out.append(_fingerprint_core(u, a, b, offs, shifts)[0])
+    return out
+
+
+def simhash_batch(texts: pd.Series, cfg: DedupConfig = DEFAULT) -> list[np.ndarray]:
+    a, b = _permutation_params(cfg.num_hashes, cfg.minhash_seed)
+    offs = _stream_offsets(cfg.simhash_bits // 64, cfg.simhash_seed)
+    shifts = np.arange(64, dtype=_U64)
+    out = []
+    with np.errstate(over="ignore"):
+        for t in texts:
+            u = shingle_hashes(t or "", cfg)
+            out.append(_fingerprint_core(u, a, b, offs, shifts)[1])
     return out
 
 
@@ -159,22 +208,8 @@ def make_fingerprint_udf(cfg: DedupConfig = DEFAULT, store_sketch: bool = True):
             with np.errstate(over="ignore"):
                 for t in texts:
                     u = shingle_hashes(t or "", cfg)
-                    vals = u[:, None] * a[None, :] + b[None, :]
-                    mh.append(
-                        (vals.min(axis=0) >> _U64(32)).astype(np.int64).astype(
-                            np.int32
-                        )
-                    )
-                    half = len(u) / 2.0
-                    words = np.empty(n_words, dtype=np.int64)
-                    for j in range(n_words):
-                        v = splitmix64(u + offs[j])
-                        bits = (
-                            (v[:, None] >> shifts[None, :]) & _U64(1)
-                        ).sum(axis=0)
-                        words[j] = (
-                            ((bits > half).astype(_U64) << shifts).sum(dtype=_U64)
-                        ).astype(np.int64)
+                    minhash, words = _fingerprint_core(u, a, b, offs, shifts)
+                    mh.append(minhash)
                     sh.append(words)
                     sk.append(u.astype(np.int64) if store_sketch else _EMPTY_I64)
                     ns.append(len(u))

@@ -6,8 +6,9 @@ Design (SURVEY.md §2.4 D2):
   signature → band decomposition → bucket join → capped pair expansion
   → cheap prefilter → exact-Jaccard verify.
 
-Skew handling is explicit (north_rule): bucket sizes are computed with a
-window count; buckets over ``cfg.bucket_cap`` do NOT pair all-vs-all —
+Skew handling is explicit (north_rule): bucket sizes come from a
+map-side-combined hash aggregation; buckets over ``cfg.bucket_cap`` do
+NOT pair all-vs-all —
 they emit a star to the bucket's min doc_id instead. A star preserves
 the connected component (every member still reaches the same cluster)
 while cutting a boilerplate bucket from O(n²) to O(n) pairs; the
@@ -44,34 +45,72 @@ def minhash_band_table(
 
 
 def candidate_pairs(
-    band_table: DataFrame, cfg: DedupConfig = DEFAULT
+    band_table: DataFrame, cfg: DedupConfig = DEFAULT, star: bool = True
 ) -> DataFrame:
     """Distinct candidate (src_id < dst_id) pairs from a (doc_id, band_key)
-    table, with the giant-bucket star fallback."""
-    w = Window.partitionBy("band_key")
-    sized = band_table.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bucket_min", F.min("doc_id").over(w)
-    )
+    table, with the giant-bucket star fallback.
 
-    # bucket_n >= 2: singleton buckets (the vast majority of band keys)
-    # cannot produce a pair — dropping them before the self-join removes
-    # most of the join's input instead of hashing it twice for nothing.
+    ``star=True`` is correct ONLY for high-precision band keys (minhash
+    bands: collision ⇒ high similarity, so star edges to the bucket min
+    survive the downstream verify and preserve the component). For
+    low-precision keys (simhash's 8-bit bands) an over-cap bucket is
+    mostly random collisions: its star edges fail verify, wasting the
+    whole bucket's work and preserving nothing — callers pass
+    ``star=False`` to DROP over-cap buckets instead, with the forgone
+    pairs accounted in :func:`bucket_stats`."""
+    # Bucket sizing picks its physical shape by key-space cardinality
+    # (both measured at 1M docs):
     #
-    # Cache the filtered table: it feeds THREE consumers (both sides of
-    # the self-join and the star branch), whose projections alias columns
-    # differently, so Catalyst's ReuseExchange never fires and the whole
-    # scan→explode→window subtree would otherwise execute three times
-    # (measured: ~2× the stage's CPU at 1M docs). The cached table holds
-    # only non-singleton band rows — a small fraction of the band table —
-    # and on a cluster the pipeline materializes band tables per stage
-    # anyway (plans/pipeline.py), where this cache is a no-op overlap.
-    nonsingleton = sized.filter(F.col("bucket_n") >= 2).cache()
+    # * star=False (low-precision keys, e.g. simhash's 8192 distinct
+    #   band keys): hash-AGGREGATE sizes — count/min partially
+    #   aggregate, so the map side combines the band table to one row
+    #   per key before a tiny shuffle, and AQE broadcasts the kept-keys
+    #   join back onto the band table: the band table itself is never
+    #   shuffled. (The window shape shuffled AND sorted all 32M band
+    #   rows: 13.8s → 7.7s.)
+    # * star=True (high-precision keys, ~one distinct key per doc-band:
+    #   13.3M at 1M docs): a WINDOW over band_key — one exchange+sort of
+    #   the band table. The aggregate shape is strictly worse here: the
+    #   size table is as large as the key space, so rejoining it costs a
+    #   second full shuffle of the band table plus one of the size table
+    #   (measured 2.2× slower at 16 cores).
+    if not star:
+        sizes = (
+            band_table.groupBy("band_key")
+            .agg(
+                F.count("*").alias("bucket_n"),
+                F.min("doc_id").alias("bucket_min"),
+            )
+            # singletons (the vast majority of keys) can't pair; over-cap
+            # buckets are dropped (star=False contract, accounting in
+            # bucket_stats)
+            .filter(
+                (F.col("bucket_n") >= 2)
+                & (F.col("bucket_n") <= cfg.bucket_cap)
+            )
+        )
+        nonsingleton = band_table.join(sizes, "band_key").cache()
+    else:
+        w = Window.partitionBy("band_key")
+        sized = band_table.withColumn(
+            "bucket_n", F.count("*").over(w)
+        ).withColumn("bucket_min", F.min("doc_id").over(w))
+        # Cache the non-singleton table: it feeds both sides of the
+        # self-join and the star branch, whose projections alias columns
+        # differently, so Catalyst's ReuseExchange never fires and the
+        # scan→explode→window subtree would otherwise execute three
+        # times (measured: ~2× the stage's CPU). It holds only
+        # non-singleton band rows — a small fraction of the band table.
+        nonsingleton = sized.filter(F.col("bucket_n") >= 2).cache()
     small = nonsingleton.filter(F.col("bucket_n") <= cfg.bucket_cap)
     a = small.select("band_key", F.col("doc_id").alias("src_id"))
     bb = small.select("band_key", F.col("doc_id").alias("dst_id"))
     small_pairs = a.join(bb, "band_key").filter(
         F.col("src_id") < F.col("dst_id")
     )
+
+    if not star:
+        return small_pairs.select("src_id", "dst_id").distinct()
 
     big_pairs = (
         nonsingleton.filter(

@@ -78,6 +78,20 @@ def verify_hamming_pairs(
 def simhash_dup_pairs(
     fingerprints: DataFrame, cfg: DedupConfig = DEFAULT
 ) -> DataFrame:
+    """SimHash near-dup pairs: band-block → candidates → Hamming verify.
+
+    ``star=False``: simhash band values are only ``64 / bands_per_word``
+    bits wide, so at corpus scale every (band, value) bucket blows past
+    ``bucket_cap`` on random collisions alone (measured at 1M docs: all
+    8192 buckets over cap, 23.5M star edges, ~all rejected by the
+    Hamming verify). Star edges to a random bucket-min preserve nothing
+    here — over-cap buckets are dropped with accounting
+    (:func:`image_dedup_spark.operators.lsh.bucket_stats`). Consequence,
+    stated honestly: the pigeonhole recall guarantee of this family
+    holds while buckets stay under cap (small/medium corpora, or
+    ``simhash_bits``/``simhash_bands`` grown ~log n so band values stay
+    discriminating); at web scale the MinHash family is the primary
+    recall path."""
     bands = simhash_band_table(fingerprints, cfg)
-    cands = candidate_pairs(bands, cfg)
+    cands = candidate_pairs(bands, cfg, star=False)
     return verify_hamming_pairs(cands, fingerprints, cfg)
