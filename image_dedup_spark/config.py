@@ -65,6 +65,11 @@ class DedupConfig:
     # shallow dup clusters converge in ~2 rounds, so probing every 2nd
     # round detects the fixpoint with the fewest barrier+join total.
     cc_checkpoint_every: int = 2
+    # greedy (reference-compat) survivor mode: components with more
+    # edges than this skip the single-task pandas greedy pass and fall
+    # back to keep-first (min doc_id) — bounds per-task memory against
+    # pathological mega-components
+    greedy_max_component: int = 2_000_000
 
     extra: dict = field(default_factory=dict, compare=False)
 

@@ -179,7 +179,15 @@ def greedy_survivors(
     Components are small after near-dup detection, so grouped-map pandas
     execution is safe (applyInPandas per cluster_id); survivors form an
     independent set — no two survivors are duplicates of each other,
-    exactly the reference's postcondition."""
+    exactly the reference's postcondition.
+
+    Mega-component guard: a pathological component (boilerplate star
+    chains) would put its whole edge list in one pandas group — one
+    task's memory. Components with more than ``cfg.greedy_max_component``
+    edges skip the greedy pass and fall back to the keep-first rule
+    (min doc_id survives, everything else removed): deterministic, one
+    aggregation, and the same independent-set postcondition under the
+    near-dup relation's transitive closure."""
     comp = connected_components(edges, cfg)
     e = (
         edges.select("src_id", "dst_id")
@@ -190,6 +198,16 @@ def greedy_survivors(
             "src_id",
         )
     )
-    return e.groupBy("cid").applyInPandas(
+    sizes = e.groupBy("cid").agg(F.count("*").alias("n_edges"))
+    e = e.join(sizes, "cid")
+    small = e.filter(F.col("n_edges") <= cfg.greedy_max_component)
+    big = e.filter(F.col("n_edges") > cfg.greedy_max_component)
+    greedy = small.groupBy("cid").applyInPandas(
         lambda pdf: _greedy_remove(pdf), schema=_GREEDY_SCHEMA
     )
+    fallback = (
+        big.select("cid", F.explode(F.array("src_id", "dst_id")).alias("doc_id"))
+        .distinct()
+        .select("doc_id", (F.col("doc_id") != F.col("cid")).alias("removed"))
+    )
+    return greedy.unionByName(fallback)

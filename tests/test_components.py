@@ -84,3 +84,22 @@ def test_greedy_survivors_independent_set(spark):
     # determinism
     res2 = {r.doc_id: r.removed for r in CC.greedy_survivors(df).collect()}
     assert res == res2
+
+
+def test_greedy_survivors_mega_component_fallback(spark):
+    """Components over cfg.greedy_max_component edges skip the pandas
+    greedy pass and fall back to keep-first: min doc_id survives, the
+    rest are removed. Small components still go through greedy."""
+    from dataclasses import replace
+
+    from image_dedup_spark.config import DEFAULT
+
+    cfg = replace(DEFAULT, greedy_max_component=5)
+    # big star: 10 edges around hub 0; small pair: (100, 101)
+    rows = [(0, i) for i in range(1, 11)] + [(100, 101)]
+    edges = spark.createDataFrame(rows, "src_id long, dst_id long")
+    out = {r.doc_id: r.removed for r in CC.greedy_survivors(edges, cfg).collect()}
+    assert out[0] is False                      # min id survives
+    assert all(out[i] for i in range(1, 11))    # rest removed
+    # small component went through greedy: exactly one of the pair removed
+    assert out[100] != out[101]

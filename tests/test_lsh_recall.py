@@ -61,3 +61,23 @@ def test_bucket_stats_account_for_skew(spark):
     # star only — no all-vs-all inside the giant bucket
     assert (1, 2) not in got
     assert len(got) == 39 + 3
+
+
+def test_candidate_pairs_star_false_drops_overcap_buckets(spark):
+    """star=False (the simhash contract): over-cap buckets produce NO
+    pairs at all — neither all-vs-all nor star edges — because for
+    low-precision band keys star edges to a random bucket-min just die
+    in the downstream verify; small buckets still pair fully."""
+    from dataclasses import replace
+
+    small_cfg = replace(DEFAULT, bucket_cap=8)
+    rows = [(i, 111) for i in range(40)] + [(100 + i, 222) for i in range(3)]
+    bands = spark.createDataFrame(rows, "doc_id long, band_key long")
+    got = {
+        (r.src_id, r.dst_id)
+        for r in LSH.candidate_pairs(bands, small_cfg, star=False).collect()
+    }
+    assert got == {(100, 101), (101, 102), (100, 102)}
+    # the forgone giant-bucket pairs stay visible in the accounting
+    s = {r.band_key: r for r in LSH.bucket_stats(bands, small_cfg).collect()}
+    assert s[111].starred and s[111].pairs_dropped > 0
