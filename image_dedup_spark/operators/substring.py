@@ -218,6 +218,17 @@ def suffix_array_spans(
     """Suffix-array substring mode: exact shared spans >= cfg.cdc_min_span
     bytes between doc pairs, with positions.
 
+    Pair coverage contract (stated precisely): spans are found by
+    scanning ADJACENT suffix pairs in each group's suffix array — the
+    standard two-string LCS technique. With >2 docs in a group, a pair
+    (A, B) whose shared string also occurs in C may surface as (A, C)
+    and (C, B) instead of (A, B) when C's suffixes interleave the run.
+    That is adjacency-complete: every shared span is reported for at
+    least one doc pair containing it, and the pair graph's transitive
+    closure (what dedup consumes downstream) is identical. Per-pair
+    exhaustiveness would need nearest-preceding-suffix-per-doc tracking
+    — O(group_len × docs) per group — for no downstream benefit.
+
     Scale shape: a suffix array over the whole corpus does not
     distribute, but the detection problem does — CDC chunk hashes
     co-locate candidate docs (docs sharing any non-ubiquitous chunk land
