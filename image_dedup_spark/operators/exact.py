@@ -45,10 +45,19 @@ def _keepers(keyed: DataFrame, order: str) -> DataFrame:
 def survivors(
     df: DataFrame, key_col: Column | None = None, order: str = "doc_id"
 ) -> DataFrame:
-    """Keep-first exact dedup. Adds ``exact_key``; drops later occurrences."""
+    """Keep-first exact dedup. Adds ``exact_key``; drops later occurrences.
+
+    Shape: the md5+normalize key is computed ONCE, over a slim
+    (key, order) projection; keepers aggregate that, and the wide rows
+    are matched back by an inner join on ``order`` alone — which also
+    re-attaches ``exact_key`` from the keeper row for free. The round-1
+    semi-join on (exact_key, order) made both join branches evaluate
+    the regex-normalize+md5 subtree over the full corpus (2× the
+    stage's dominant CPU; keep-first semantics identical either way
+    since ``order`` is unique per row)."""
     key_col = exact_key(F.col("text")) if key_col is None else key_col
-    keyed = df.withColumn("exact_key", key_col)
-    return keyed.join(_keepers(keyed, order), ["exact_key", order], "left_semi")
+    keyed_slim = df.select(F.col(order), key_col.alias("exact_key"))
+    return df.join(_keepers(keyed_slim, order), order, "inner")
 
 
 def dropped(
