@@ -74,7 +74,15 @@ def get_spark(
         master = f"local[{cores}]"
         ncores = cores
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * ncores, 8)
+        # High initial count, AQE coalesces DOWN per stage: AQE never
+        # SPLITS a uniformly-large partition (skew-join splitting needs
+        # a 5x-median outlier), so with 2*cores partitions the 5M-doc
+        # verify join ran 850MB-3.4GB sort partitions that spilled; at
+        # 32*cores they start ~50-200MB and small stages still coalesce
+        # to ~one partition per core (advisory 16MB, parallelismFirst).
+        # Cluster analogue: set this to a few x total cores and rely on
+        # the same AQE coalescing.
+        shuffle_partitions = max(32 * ncores, 64)
 
     builder = (
         SparkSession.builder.master(master)
