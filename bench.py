@@ -71,11 +71,19 @@ def main() -> None:
     # ordering): exact dedup FIRST so the Arrow fingerprint pass only
     # sees one copy per identical text; minhash verification runs in
     # signature-estimate mode so the shingle sketch is never materialized.
-    exact_surv = timed(
-        "q_exact_dedup",
-        lambda: EX.survivors(docs.select("doc_id", "url", "text"))
-        .localCheckpoint(eager=True),
-    )
+    def _exact():
+        # One md5+normalize pass: the slim label table feeds survivors
+        # here AND the exact pair edges consumed by the CC stage (which
+        # previously re-ran the full md5 pass inside the CC timing).
+        lab = EX.labels(docs.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+        surv = EX.survivors_from_labels(
+            docs.select("doc_id", "url", "text"), lab
+        ).localCheckpoint(eager=True)
+        return lab, surv
+
+    exact_labels, exact_surv = timed("q_exact_dedup", _exact)
 
     fp_path = os.path.join(workdir, "fp")
     fp_udf = make_fingerprint_udf(DEFAULT, store_sketch=False)
@@ -107,7 +115,7 @@ def main() -> None:
         "q_simhash_pairs",
         lambda: SB.simhash_dup_pairs(fp, DEFAULT).localCheckpoint(eager=True),
     )
-    exact_pairs = EX.pairs(docs.select("doc_id", "text"))
+    exact_pairs = EX.pairs_from_labels(exact_labels)
     all_pairs = exact_pairs.unionByName(minhash_pairs).unionByName(simhash_pairs)
     clusters = timed(
         "q_connected_components",

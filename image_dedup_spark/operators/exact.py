@@ -60,6 +60,47 @@ def survivors(
     return df.join(_keepers(keyed_slim, order), order, "inner")
 
 
+def labels(
+    df: DataFrame, key_col: Column | None = None, order: str = "doc_id"
+) -> DataFrame:
+    """(order, exact_key, keeper) — the one-pass exact-dedup label table
+    from which BOTH survivors and keeper->dup pair edges derive.
+
+    One md5+normalize evaluation over a slim projection, one exchange
+    (window over the slim rows; a groupBy+join-back shape would either
+    evaluate the md5 subtree on both join branches — Catalyst does not
+    CSE across plan branches — or shuffle the slim table twice).
+    Callers that consume the result more than once (survivors + pairs)
+    should materialize it; each derived output is then a filter/project,
+    not another pass over the corpus."""
+    key_col = exact_key(F.col("text")) if key_col is None else key_col
+    keyed_slim = df.select(F.col(order), key_col.alias("exact_key"))
+    w = Window.partitionBy("exact_key")
+    return keyed_slim.withColumn("keeper", F.min(order).over(w))
+
+
+def pairs_from_labels(lab: DataFrame, order: str = "doc_id") -> DataFrame:
+    """Duplicate edges (keeper -> duplicate) from a :func:`labels` table —
+    same output as :func:`pairs`, zero additional corpus passes."""
+    return lab.filter(F.col(order) != F.col("keeper")).select(
+        F.col("keeper").alias("src_id"),
+        F.col(order).alias("dst_id"),
+        F.lit(0.0).alias("score"),
+        F.lit("exact").alias("stage"),
+    )
+
+
+def survivors_from_labels(
+    df: DataFrame, lab: DataFrame, order: str = "doc_id"
+) -> DataFrame:
+    """Keep-first survivors (df columns + exact_key) from a :func:`labels`
+    table — same output as :func:`survivors`, zero additional md5 passes."""
+    winners = lab.filter(F.col(order) == F.col("keeper")).select(
+        F.col(order), "exact_key"
+    )
+    return df.join(winners, order, "inner")
+
+
 def dropped(
     df: DataFrame, key_col: Column | None = None, order: str = "doc_id"
 ) -> DataFrame:

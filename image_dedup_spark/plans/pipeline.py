@@ -47,8 +47,9 @@ from image_dedup_spark.sources import io as IO
 # resuming a checkpoint dir written by a different layout must refuse
 # rather than silently mix old-flow stage outputs with recomputed ones
 # (stage names were renumbered and the minhash dtype changed long->int32
-# between layouts 1 and 2).
-PIPELINE_FORMAT = "2"
+# between layouts 1 and 2; 02_exact_pairs/02_exact_survivors collapsed
+# into one 02_exact_labels pass between 2 and 3).
+PIPELINE_FORMAT = "3"
 
 
 def _check_format_marker(checkpoint_dir: str | None) -> None:
@@ -138,9 +139,18 @@ def run_pipeline(
     # Exact dedup BEFORE the fingerprint UDF — the reference's own stage
     # order (md5 dedup precedes phash/dhash, image_deduper.cpp:293-359):
     # cardinality reduction so the expensive Arrow pass and every LSH
-    # shuffle only ever see one copy per identical text.
-    exact_pairs = stage("02_exact_pairs", lambda: EX.pairs(filtered))
-    exact_survivors = stage("02_exact_survivors", lambda: EX.survivors(filtered))
+    # shuffle only ever see one copy per identical text. The slim label
+    # table (doc_id, exact_key, keeper) is the ONLY md5+normalize pass;
+    # pair edges and survivors are a filter/project and a join off it
+    # (the format-2 layout ran the md5 pass twice, once per output).
+    exact_labels = stage("02_exact_labels", lambda: EX.labels(filtered))
+    exact_pairs = stage(
+        "02_exact_pairs", lambda: EX.pairs_from_labels(exact_labels)
+    )
+    exact_survivors = stage(
+        "02_exact_survivors",
+        lambda: EX.survivors_from_labels(filtered, exact_labels),
+    )
 
     fp_udf = make_fingerprint_udf(cfg, store_sketch=(verify_mode == "exact"))
     # Repartition before the Arrow UDF: the stage is CPU-bound, so its

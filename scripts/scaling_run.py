@@ -72,21 +72,33 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
     return res
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-    four_n = 4 * n
-    from make_pyfiles_zip import build
-
-    pyfiles = build()
-    r_n = run_bench(n, expansion, sf_dir, pyfiles)
-    r_4n = run_bench(four_n, expansion, sf_dir, pyfiles)
+def write_report(r_n: dict, r_4n: dict, n: int, four_n: int, expansion: int) -> float:
     tp_n = r_n["docs_per_sec"]
     tp_4n = r_4n["docs_per_sec"]
     eff = tp_4n / (4 * tp_n)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    stage_names = {
+        "q_exact_dedup": "exact dedup",
+        "q_fingerprint": "fingerprint (Arrow UDF)",
+        "q_minhash_lsh_pairs": "minhash LSH pairs",
+        "q_simhash_pairs": "simhash pairs",
+        "q_connected_components": "connected components",
+    }
+    stage_rows = []
+    for key, label in stage_names.items():
+        a, b = r_n["queries"].get(key), r_4n["queries"].get(key)
+        if a and b:
+            stage_rows.append(
+                f"| {label} | {a} | {b} | {a / b:.2f}× | {a / b / 4:.2f} |"
+            )
+    stage_rows.append(
+        f"| **dedup pipeline** | **{r_n['dedup_pipeline_sec']}** "
+        f"| **{r_4n['dedup_pipeline_sec']}** "
+        f"| **{r_n['dedup_pipeline_sec'] / r_4n['dedup_pipeline_sec']:.2f}×** "
+        f"| **{eff:.3f}** |"
+    )
+    stage_table = "\n".join(stage_rows)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence ({stamp})
@@ -101,14 +113,41 @@ two local parallelism levels, shuffle partitions scaled with cores.
 | 4N | {four_n} | {r_4n['dedup_pipeline_sec']} | {tp_4n} |
 
 **Scaling efficiency = throughput(4N) / (4 × throughput(N)) =
-{eff:.3f}** (target ≥ 0.8 ⇒ {"PASS" if eff >= 0.8 else "FAIL"})
+{eff:.3f}** (target ≥ 0.8 ⇒ {"PASS" if eff >= 0.8 else "FAIL"};
+a pure-CPU burn test on this VM measures an ~0.83 platform ceiling
+from hypervisor steal + turbo before any Spark code runs —
+BENCH/ANALYSIS_r1.md — so {eff / 0.83:.2f} normalized to the ceiling)
+
+## Per-stage speedup, {n} → {four_n} cores ({r_n['n_docs']} docs)
+
+| stage | {n}c sec | {four_n}c sec | speedup | efficiency |
+|---|---|---|---|---|
+{stage_table}
 
 Raw N:  `{json.dumps(r_n)}`
 
 Raw 4N: `{json.dumps(r_4n)}`
 """
         )
-    print(json.dumps({"eff": eff, "tp_n": tp_n, "tp_4n": tp_4n}))
+    return eff
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    four_n = 4 * n
+    from make_pyfiles_zip import build
+
+    pyfiles = build()
+    r_n = run_bench(n, expansion, sf_dir, pyfiles)
+    r_4n = run_bench(four_n, expansion, sf_dir, pyfiles)
+    eff = write_report(r_n, r_4n, n, four_n, expansion)
+    print(
+        json.dumps(
+            {"eff": eff, "tp_n": r_n["docs_per_sec"], "tp_4n": r_4n["docs_per_sec"]}
+        )
+    )
 
 
 if __name__ == "__main__":

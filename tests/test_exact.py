@@ -49,3 +49,27 @@ def test_exact_on_planted_corpus(spark, corpus, fingerprints):
     # and the survivor is the min doc_id of its planted cluster
     bad = j.filter(F.col("doc_id") != F.col("cluster_id")).count()
     assert bad == 0
+
+
+def test_labels_one_pass_parity(spark):
+    """survivors/pairs derived from the one-pass labels table must match
+    the standalone operators exactly."""
+    df = _df(spark)
+    lab = EX.labels(df).localCheckpoint(eager=True)
+    surv = sorted(
+        (r.doc_id, r.exact_key)
+        for r in EX.survivors_from_labels(df, lab).collect()
+    )
+    surv_ref = sorted(
+        (r.doc_id, r.exact_key) for r in EX.survivors(df).collect()
+    )
+    assert surv == surv_ref
+    pairs = sorted(
+        (r.src_id, r.dst_id, r.score, r.stage)
+        for r in EX.pairs_from_labels(lab).collect()
+    )
+    pairs_ref = sorted(
+        (r.src_id, r.dst_id, r.score, r.stage)
+        for r in EX.pairs(df).collect()
+    )
+    assert pairs == pairs_ref
