@@ -47,17 +47,25 @@ def connected_components(
     cfg: DedupConfig = DEFAULT,
     src: str = "src_id",
     dst: str = "dst_id",
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex appearing in `edges`.
-    cluster_id = min doc_id in the component."""
+    cluster_id = min doc_id in the component.
+
+    ``dedup_edges`` is off by default: min-label propagation is
+    idempotent to duplicate edges (a repeated (a,b) only re-offers the
+    same min candidate to the same groupBy), so the distinct's full
+    shuffle+dedup of the symmetrized edge table only pays for itself
+    when the pair families overlap heavily; the engine's stages emit
+    distinct pairs each, so overlap is the rare doc caught by two
+    families."""
     # Pin the symmetrized edge table: every probe is its own Spark job,
-    # and an unpinned `e` would replay the union+distinct shuffle each
-    # round (shuffle reuse does not cross job boundaries).
-    e = _truncate_lineage(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # and an unpinned `e` would replay the union shuffle each round
+    # (shuffle reuse does not cross job boundaries).
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    e = _truncate_lineage(sym.distinct() if dedup_edges else sym)
     # Warm start: label(v) = min(v, min neighbor) — the result round 1
     # would produce, folded into the same shuffle the old doc_id-distinct
     # init already paid. Dup-pair graphs are shallow (exact-dup stars,

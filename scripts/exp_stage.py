@@ -35,6 +35,10 @@ def main() -> None:
     expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "200"))
     out = os.path.join(ROOT, f"x{expansion}")
     spark = get_spark(app_name=f"exp_{stage}_{variant}")
+    # ad-hoc session-conf overrides: SPARK_GRAFT_EXP_CONF="k=v;k=v"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXP_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     sc = spark.sparkContext
     docs = spark.read.parquet(os.path.join(out, "corpus"))
     surv = spark.read.parquet(os.path.join(out, "surv"))
@@ -64,9 +68,66 @@ def main() -> None:
             .parquet(os.path.join(out, f"fp_out_{variant}_{sc.defaultParallelism}"))
         )
     elif stage == "minhash":
-        LSH.minhash_dup_pairs(fp, DEFAULT, mode="estimate").localCheckpoint(
-            eager=True
-        )
+        if variant == "base":
+            LSH.minhash_dup_pairs(fp, DEFAULT, mode="estimate").localCheckpoint(
+                eager=True
+            )
+        elif variant == "bands":
+            # scan + explode + xxhash only — no shuffle
+            LSH.minhash_band_table(fp, DEFAULT).localCheckpoint(eager=True)
+        elif variant == "cands":
+            # band table + window + self-join + distinct
+            LSH.candidate_pairs(
+                LSH.minhash_band_table(fp, DEFAULT), DEFAULT
+            ).localCheckpoint(eager=True)
+        elif variant == "cands_agg":
+            # one-shuffle shape: collect_list per band key, in-place pair
+            # expansion (no sort, no self-join), star fallback for
+            # over-cap buckets
+            bt = LSH.minhash_band_table(fp, DEFAULT)
+            cap = DEFAULT.bucket_cap
+            g = bt.groupBy("band_key").agg(
+                F.sort_array(F.collect_list("doc_id")).alias("ds")
+            ).filter(F.size("ds") >= 2)
+            small = g.filter(F.size("ds") <= cap)
+            pairs = small.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ds",
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("ds"),
+                                    i + F.lit(2),
+                                    F.size("ds"),
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("src_id"), y.alias("dst_id")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            ).select("p.src_id", "p.dst_id")
+            big = g.filter(F.size("ds") > cap).select(
+                F.element_at("ds", 1).alias("src_id"),
+                F.explode(F.slice("ds", 2, 2_000_000_000)).alias("dst_id"),
+            )
+            pairs.unionByName(big).distinct().localCheckpoint(eager=True)
+        elif variant == "verify":
+            # verify joins + scorer only, candidates pre-materialized
+            cands_path = os.path.join(out, "cands")
+            if not os.path.exists(os.path.join(cands_path, "_SUCCESS")):
+                LSH.candidate_pairs(
+                    LSH.minhash_band_table(fp, DEFAULT), DEFAULT
+                ).write.mode("overwrite").parquet(cands_path)
+                t0 = time.monotonic()
+            cands = spark.read.parquet(cands_path)
+            LSH.verify_pairs(
+                cands, fp, DEFAULT, mode="estimate"
+            ).localCheckpoint(eager=True)
+        else:
+            raise SystemExit(f"unknown minhash variant {variant}")
     elif stage == "simhash":
         SB.simhash_dup_pairs(fp, DEFAULT).localCheckpoint(eager=True)
     elif stage == "cc":

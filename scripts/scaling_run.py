@@ -24,7 +24,13 @@ def _spark_submit() -> str | None:
     return shutil.which("spark-submit")
 
 
-def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> dict:
+def run_bench(
+    cores: int,
+    expansion: int,
+    sf_dir: str,
+    pyfiles: str | None,
+    suffix: str = "",
+) -> dict:
     """One bench run. Uses the real ``spark-submit --py-files`` launch
     path (the north_rule's submit mechanism) when spark-submit is on
     PATH; plain ``python bench.py`` otherwise (identical job either way —
@@ -66,7 +72,7 @@ def run_bench(cores: int, expansion: int, sf_dir: str, pyfiles: str | None) -> d
     # loses this one's 30+ minutes of measurement
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(
-        os.path.join(REPO, "BENCH", f"leg_c{cores}_x{expansion}.json"), "w"
+        os.path.join(REPO, "BENCH", f"leg_c{cores}_x{expansion}{suffix}.json"), "w"
     ) as f:
         json.dump(res, f)
     return res
@@ -136,13 +142,40 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     expansion = int(os.environ.get("SPARK_GRAFT_BENCH_EXPANSION", "40"))
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    # Repeats: single-run legs on this VM swing ±20% from hypervisor
+    # steal (the Arrow fingerprint stage alone measured 142-193s at 16
+    # cores across identical runs), which is ±0.1 on the efficiency
+    # number. Legs are interleaved (N, 4N, N, 4N, ...) so slow periods
+    # hit both levels, and the report uses the per-level MEDIAN by
+    # pipeline time, with every raw leg listed.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
     four_n = 4 * n
     from make_pyfiles_zip import build
 
     pyfiles = build()
-    r_n = run_bench(n, expansion, sf_dir, pyfiles)
-    r_4n = run_bench(four_n, expansion, sf_dir, pyfiles)
+    runs_n, runs_4n = [], []
+    for i in range(repeats):
+        suffix = f"_r{i}" if repeats > 1 else ""
+        runs_n.append(run_bench(n, expansion, sf_dir, pyfiles, suffix))
+        runs_4n.append(run_bench(four_n, expansion, sf_dir, pyfiles, suffix))
+    med = lambda runs: sorted(runs, key=lambda r: r["dedup_pipeline_sec"])[
+        len(runs) // 2
+    ]
+    r_n, r_4n = med(runs_n), med(runs_4n)
     eff = write_report(r_n, r_4n, n, four_n, expansion)
+    if repeats > 1:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## All legs ({repeats} interleaved repeats per level; "
+                "report uses the per-level median by pipeline sec)\n\n"
+                "| level | run | pipeline sec | docs/sec |\n|---|---|---|---|\n"
+            )
+            for level, runs in ((n, runs_n), (four_n, runs_4n)):
+                for i, r in enumerate(runs):
+                    f.write(
+                        f"| {level}c | {i} | {r['dedup_pipeline_sec']} "
+                        f"| {r['docs_per_sec']} |\n"
+                    )
     print(
         json.dumps(
             {"eff": eff, "tp_n": r_n["docs_per_sec"], "tp_4n": r_4n["docs_per_sec"]}
