@@ -66,6 +66,20 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
 
+    # Size initial shuffle partitions by DATA, not only cores: one
+    # initial partition per ~10k docs (~10-50MB of band/signature rows),
+    # floored at 2/core, capped at the session default of 32/core. At
+    # the 5M-doc scaling legs this resolves to the cap (identical to the
+    # session default — the N-vs-4N protocol is unaffected); at the
+    # 200k-doc driver bench it avoids paying 1024 partitions' worth of
+    # task-scheduling latency on MB-sized shuffles. Runtime-settable;
+    # AQE derives its initial partition count from it per query.
+    ncores = spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8 * ncores, min(32 * ncores, n_docs // 10_000))),
+    )
+
     # --- headline dedup stages (timed end-to-end over the corpus) --------
     # Stage order mirrors the pipeline (and the reference's md5-first
     # ordering): exact dedup FIRST so the Arrow fingerprint pass only
