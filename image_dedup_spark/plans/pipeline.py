@@ -136,6 +136,20 @@ def run_pipeline(
     filtered = stage("01_filtered", lambda: Q.keep(pages, cfg))
     quarantine = stage("01_quarantine", lambda: Q.quarantine(pages, cfg))
 
+    # Size initial shuffle partitions by data volume, now that the
+    # filtered stage's materialized row count is known: one initial
+    # partition per ~10k docs, floored at 8/core, capped at the session
+    # default of 32/core (AQE coalesces further down per stage). Small
+    # corpora otherwise pay hundreds of partitions' task-scheduling
+    # latency on MB-sized shuffles; huge corpora keep the cap, where
+    # partition counts must track the executor fleet instead.
+    n_filtered = metrics[-2]["rows_out"]
+    ncores = spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8 * ncores, min(32 * ncores, n_filtered // 10_000))),
+    )
+
     # Exact dedup BEFORE the fingerprint UDF — the reference's own stage
     # order (md5 dedup precedes phash/dhash, image_deduper.cpp:293-359):
     # cardinality reduction so the expensive Arrow pass and every LSH
