@@ -755,9 +755,15 @@ GROUP BY c_mktsegment
 #       buckets) run the SAME production operators over a
 #       cross-engine-reproducible md5-based fingerprint source, which
 #       DuckDB recomputes bit-for-bit.
-# Only suffix_array_spans (per-group suffix array + Kasai LCP) is
-# genuinely non-SQL-expressible and stays rows-only; its oracle is the
-# pytest byte-equality re-check of every emitted span.
+# suffix_array_spans: the per-group suffix array + Kasai LCP scan is
+# per-pair exhaustive (substring.py:_group_suffix_spans), so its
+# (src_id, dst_id, span_len) projection equals the pure per-pair
+# longest-common-substring relation, which SQL expresses as
+# gaps-and-islands over matching fixed-width windows (a run of R
+# consecutive same-diagonal 128-char window matches == a common
+# substring of R+127 chars). Positions stay out of the oracle: WHICH
+# max-length span wins a tie is scan-order-dependent (see the operator
+# docstring); pytest re-checks byte equality of emitted positions.
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1078,14 +1084,47 @@ WHERE NOT EXISTS (
 
 
 def q_suffix_array_spans(spark, sf_dir):
-    """Suffix-array substring mode: exact shared spans >= 128 bytes with
-    positions (CDC chunk groups -> per-group suffix array + Kasai LCP).
-    The reference's unimplemented TODO (main.cpp:86-87). Genuinely
-    non-SQL-expressible (per-group suffix array construction), so this
-    stays a rows-only driver check; its correctness oracle is the pytest
-    byte-equality re-check of every emitted span
-    (tests/test_substring.py) plus the oracled chunk_run_spans twin."""
-    return SUB.suffix_array_spans(_docs(spark, sf_dir), DEFAULT)
+    """Suffix-array substring mode: per-pair-exhaustive exact shared
+    spans >= 128 bytes (CDC chunk groups -> per-group suffix array +
+    Kasai LCP block scan). The reference's unimplemented TODO
+    (main.cpp:86-87). Oracle: the (src_id, dst_id, span_len) projection
+    equals the per-pair longest-common-substring relation, which DuckDB
+    computes via diagonal runs of matching 128-char windows. Positions
+    are oracle-excluded (max-length-tie winner is scan-order-dependent,
+    see _group_suffix_spans) but pytest byte-equality re-checks them
+    (tests/test_substring.py)."""
+    return SUB.suffix_array_spans(_docs(spark, sf_dir), DEFAULT).select(
+        "src_id", "dst_id", "span_len"
+    )
+
+
+# Windows at every char position; a common substring of length L >= 128
+# is exactly a run of L-127 consecutive window matches on one diagonal
+# (sp - dp). max over runs per pair == per-pair LCS length, the same
+# quantity the exhaustive suffix-array scan maximizes (texts are ASCII,
+# so SQL chars == the operator's utf-8 bytes).
+SQL_SUFFIX_ARRAY_SPANS = """
+WITH w AS (
+  SELECT doc_id, i AS pos, substring(text, i::int, 128) AS win
+  FROM documents,
+       unnest(list_transform(range(1, greatest(length(text) - 126, 1)), x -> x)) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.pos AS sp, a.pos - b.pos AS diag
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+i AS (
+  SELECT src_id, dst_id, diag,
+         sp - row_number() OVER (PARTITION BY src_id, dst_id, diag ORDER BY sp) AS island
+  FROM m
+),
+runs AS (
+  SELECT src_id, dst_id, CAST(count(*) + 127 AS BIGINT) AS span_len
+  FROM i GROUP BY src_id, dst_id, diag, island
+)
+SELECT src_id, dst_id, max(span_len) AS span_len
+FROM runs GROUP BY src_id, dst_id
+"""
 
 
 def q_binary_meta(spark, sf_dir):
@@ -1275,8 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
-        # production paths (all oracled except suffix_array_spans; see
-        # the section comment above q_minhash_lsh_pairs)
+        # production paths (ALL oracled; see the section comment above
+        # q_minhash_lsh_pairs)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "bruteforce_jaccard_pairs": q_bruteforce_jaccard_pairs,
@@ -1332,4 +1371,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
         "extraction_errors": SQL_EXTRACTION_ERRORS,
         "hex_roundtrip": SQL_HEX_ROUNDTRIP,
+        "suffix_array_spans": SQL_SUFFIX_ARRAY_SPANS,
     }

@@ -150,10 +150,18 @@ def _group_suffix_spans(
     pdf: pd.DataFrame, min_span: int, max_doc_bytes: int
 ) -> pd.DataFrame:
     """Exact cross-doc shared spans >= min_span within one candidate
-    group: concatenate the group's docs with \\x00 separators, build
-    suffix array + LCP, and for each adjacent suffix pair from DIFFERENT
-    docs with LCP >= min_span record the span. Per (src,dst) pair the
-    longest span wins."""
+    group, PER-PAIR EXHAUSTIVE: concatenate the group's docs with \\x00
+    separators, build suffix array + LCP, then scan each maximal run
+    ("block") of consecutive SA rows with lcp >= min_span keeping the
+    most recent suffix per doc and a running min-LCP since it. For any
+    cross-doc suffix pair, min-LCP over the SA range between them is
+    their true common-prefix length, and the per-pair maximum is always
+    attained at a pair adjacent in the {src,dst}-filtered SA order —
+    which the most-recent-per-doc scan visits. Per (src,dst) pair the
+    lexicographically greatest (span_len, src_pos, dst_pos) wins (same
+    struct-max rule the caller uses to merge across groups). Cost is
+    O(block_len x docs_in_block) per block, and only rows with
+    lcp >= min_span are ever scanned."""
     pdf = pdf.drop_duplicates("doc_id")
     if len(pdf) < 2:
         return pd.DataFrame(
@@ -183,24 +191,44 @@ def _group_suffix_spans(
         return i if p < ends[i] else -1
 
     best: dict[tuple[int, int], tuple[int, int, int]] = {}
-    for r in np.flatnonzero(lcp >= min_span):
-        p1, p2 = int(sa[r - 1]), int(sa[r])
-        o1, o2 = owner(p1), owner(p2)
-        if o1 < 0 or o2 < 0 or o1 == o2:
-            continue
-        # clip the match at each doc's end (it cannot cross the \x00
-        # separator, but clip defensively) and at the true LCP
-        ln = int(
-            min(lcp[r], ends[o1] - p1, ends[o2] - p2)
-        )
-        if ln < min_span:
-            continue
-        a, b_ = (o1, o2) if ids[o1] < ids[o2] else (o2, o1)
-        pa, pb = (p1, p2) if ids[o1] < ids[o2] else (p2, p1)
-        key = (int(ids[a]), int(ids[b_]))
-        rec = (ln, int(pa - starts[a]), int(pb - starts[b_]))
-        if key not in best or rec[0] > best[key][0]:
-            best[key] = rec
+    qual = np.flatnonzero(lcp >= min_span)
+    if len(qual):
+        brk = np.flatnonzero(np.diff(qual) > 1)
+        block_lo = np.concatenate(([0], brk + 1))
+        block_hi = np.concatenate((brk, [len(qual) - 1]))
+        for lo, hi in zip(block_lo, block_hi):
+            r0, r1 = int(qual[lo]), int(qual[hi])
+            # rows r0-1 .. r1 share pairwise LCP >= min_span (range-min
+            # of lcp). cur: doc -> [suffix pos, min lcp since that row].
+            cur: dict[int, list[int]] = {}
+            for r in range(r0 - 1, r1 + 1):
+                p = int(sa[r])
+                o = owner(p)
+                if r >= r0:
+                    l = int(lcp[r])
+                    for v in cur.values():
+                        if v[1] > l:
+                            v[1] = l
+                if o < 0:
+                    # separator-started suffix: breaks no runs, owns no
+                    # doc — it only propagates the min-LCP above.
+                    continue
+                for d, (dp, dmin) in cur.items():
+                    if d == o:
+                        continue
+                    # clip the match at each doc's end (it cannot cross
+                    # the \x00 separator, but clip defensively) and at
+                    # the true pairwise LCP (range-min since d's suffix)
+                    ln = int(min(dmin, ends[d] - dp, ends[o] - p))
+                    if ln < min_span:
+                        continue
+                    a, b_ = (d, o) if ids[d] < ids[o] else (o, d)
+                    pa, pb = (dp, p) if ids[d] < ids[o] else (p, dp)
+                    key = (int(ids[a]), int(ids[b_]))
+                    rec = (ln, int(pa - starts[a]), int(pb - starts[b_]))
+                    if key not in best or rec > best[key]:
+                        best[key] = rec
+                cur[o] = [p, 1 << 62]
     rows = [(k[0], k[1], v[0], v[1], v[2]) for k, v in best.items()]
     return pd.DataFrame(
         rows, columns=["src_id", "dst_id", "span_len", "src_pos", "dst_pos"]
@@ -218,16 +246,26 @@ def suffix_array_spans(
     """Suffix-array substring mode: exact shared spans >= cfg.cdc_min_span
     bytes between doc pairs, with positions.
 
-    Pair coverage contract (stated precisely): spans are found by
-    scanning ADJACENT suffix pairs in each group's suffix array — the
-    standard two-string LCS technique. With >2 docs in a group, a pair
-    (A, B) whose shared string also occurs in C may surface as (A, C)
-    and (C, B) instead of (A, B) when C's suffixes interleave the run.
-    That is adjacency-complete: every shared span is reported for at
-    least one doc pair containing it, and the pair graph's transitive
-    closure (what dedup consumes downstream) is identical. Per-pair
-    exhaustiveness would need nearest-preceding-suffix-per-doc tracking
-    — O(group_len × docs) per group — for no downstream benefit.
+    Pair coverage contract (stated precisely): PER-PAIR EXHAUSTIVE
+    within each candidate group. Every doc pair in a group that shares
+    a >= min_span span is reported with its true maximum span length —
+    including pairs whose shared string also occurs in a third doc
+    whose suffixes interleave theirs in the suffix array (the
+    nearest-preceding-suffix-per-doc scan in _group_suffix_spans covers
+    exactly the {src,dst}-filtered-adjacent pairs where the per-pair
+    max is attained). The scan touches only SA rows with
+    lcp >= min_span, so exhaustiveness costs O(qualifying_rows x
+    docs_per_block), not O(group_len x docs).
+
+    Position tie-break caveat: when a pair shares several spans of the
+    SAME maximal length, the reported (src_pos, dst_pos) is the
+    struct-max over the combos the scan visited — a subset of all
+    position combos (the scan pairs each suffix with the other doc's
+    most RECENT suffix only). span_len is always the true per-pair
+    maximum; positions always point at a genuine matching span (pytest
+    re-checks byte equality), but WHICH max-length span wins a tie is
+    scan-order-dependent, which is why the driver oracle compares the
+    (src_id, dst_id, span_len) projection.
 
     Scale shape: a suffix array over the whole corpus does not
     distribute, but the detection problem does — CDC chunk hashes
