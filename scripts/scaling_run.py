@@ -35,6 +35,18 @@ def run_bench(
     path (the north_rule's submit mechanism) when spark-submit is on
     PATH; plain ``python bench.py`` otherwise (identical job either way —
     bench.py builds its own session from $SPARK_GRAFT_CPUS)."""
+    leg_path = os.path.join(
+        REPO, "BENCH", f"leg_c{cores}_x{expansion}{suffix}.json"
+    )
+    # Resume: a leg costs 30+ minutes; if a previous invocation of this
+    # exact (cores, expansion, repeat) leg already persisted its result
+    # and the caller opts in (engine code unchanged since), reuse it
+    # instead of burning the measurement again.
+    if os.environ.get("SPARK_GRAFT_SCALE_RESUME") == "1" and os.path.exists(
+        leg_path
+    ):
+        with open(leg_path) as f:
+            return json.load(f)
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
@@ -71,9 +83,7 @@ def run_bench(
     # persist each leg immediately so a crashed/killed sibling leg never
     # loses this one's 30+ minutes of measurement
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(
-        os.path.join(REPO, "BENCH", f"leg_c{cores}_x{expansion}{suffix}.json"), "w"
-    ) as f:
+    with open(leg_path, "w") as f:
         json.dump(res, f)
     return res
 
