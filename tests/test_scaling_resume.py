@@ -1,0 +1,36 @@
+"""scripts/scaling_run.py leg-resume: a persisted leg JSON short-circuits
+the 30+ minute re-measurement when SPARK_GRAFT_SCALE_RESUME=1. Pure
+Python — no Spark session."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+import scaling_run  # noqa: E402
+
+
+def test_resume_returns_persisted_leg(tmp_path, monkeypatch):
+    monkeypatch.setattr(scaling_run, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    leg = {"docs_per_sec": 123.0, "dedup_pipeline_sec": 9.9, "cores": 2}
+    (tmp_path / "BENCH" / "leg_c2_x10_r1.json").write_text(json.dumps(leg))
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_RESUME", "1")
+    # bench.py does not exist under tmp_path: any subprocess attempt
+    # would raise, so a returned dict proves the persisted leg was used.
+    out = scaling_run.run_bench(2, 10, "/nonexistent", None, suffix="_r1")
+    assert out == leg
+
+
+def test_no_resume_without_optin(tmp_path, monkeypatch):
+    monkeypatch.setattr(scaling_run, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    (tmp_path / "BENCH" / "leg_c2_x10.json").write_text("{}")
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_RESUME", raising=False)
+    with pytest.raises(Exception):
+        # opts out -> must actually run bench.py, which is absent here
+        scaling_run.run_bench(2, 10, "/nonexistent", None)
