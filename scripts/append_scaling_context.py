@@ -66,7 +66,7 @@ match the constant-per-executor spec the north rule scales.
 
 The legs ran sequentially over ~4 hours on a shared VM whose
 throughput degraded monotonically through the window (2-core legs:
-2336 → 2431 → 2096 → 1890 docs/s on identical input/code; a pure-CPU
+2336 → 2431 → 2096 → 1890 → 2070 docs/s on identical input/code; a pure-CPU
 burn test measured an ~0.83 steal+turbo ceiling before any Spark code
 runs). Interleaving bounds the bias — each 2c leg is adjacent in time
 to its paired 8c leg — and the three estimators bracket the true
