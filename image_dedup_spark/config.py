@@ -43,9 +43,15 @@ class DedupConfig:
     simhash_seed: int = 0x5EED_0002
 
     # --- skew handling ---------------------------------------------------
-    bucket_cap: int = 256           # max docs per LSH bucket before salting
-    salt_factor: int = 8            # salt fan-out for oversized buckets
-    max_pairs_per_bucket: int = 65536  # hard cap; overflow counted+dropped
+    # buckets <= bucket_cap pair all-vs-all; over-cap buckets emit a star
+    # to the bucket min (connectivity) plus all-vs-all inside salt_factor
+    # salted sub-buckets while affordable (lsh._salt_affordable):
+    # expected sub-bucket <= bucket_cap AND expected salted pairs
+    # <= max_pairs_per_bucket. Beyond that, star-only with the forgone
+    # pairs counted in lsh.bucket_stats.
+    bucket_cap: int = 256           # max docs per all-vs-all LSH bucket
+    salt_factor: int = 8            # sub-bucket fan-out for over-cap buckets
+    max_pairs_per_bucket: int = 65536  # salted-pair budget per bucket
 
     # --- quality filter (text analogue of image_filter.cpp:13-82) --------
     min_text_chars: int = 32        # analogue of min-side 128 px
@@ -60,11 +66,15 @@ class DedupConfig:
 
     # --- connected components --------------------------------------------
     cc_max_iterations: int = 50
-    # checkpoint + convergence-probe cadence: each probe is a driver
-    # barrier (round-1's worst scaling cost); with pointer jumping the
-    # shallow dup clusters converge in ~2 rounds, so probing every 2nd
-    # round detects the fixpoint with the fewest barrier+join total.
-    cc_checkpoint_every: int = 2
+    # checkpoint + convergence-probe cadence. Since round 3 the probe
+    # aggregation rides the SAME job that materializes the round's lazy
+    # localCheckpoint (components._truncate_lineage lazy_ok), so a probe
+    # costs one extra agg over data being computed anyway (~0.3s) while
+    # every round it skips costs a full propagation (~2-4s at 200k docs).
+    # Probing every round therefore detects the fixpoint cheapest; the
+    # batched cadence (2+) only made sense when each probe was its own
+    # driver-barrier job (rounds 1-2).
+    cc_checkpoint_every: int = 1
     # greedy (reference-compat) survivor mode: components with more
     # edges than this skip the single-task pandas greedy pass and fall
     # back to keep-first (min doc_id) — bounds per-task memory against

@@ -26,6 +26,8 @@ cluster localCheckpoint blocks are lost with an executor.
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,13 +35,21 @@ from pyspark.sql import functions as F
 from image_dedup_spark.config import DEFAULT, DedupConfig
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, lazy_ok: bool = False) -> DataFrame:
     """Reliable checkpoint when the context has a checkpoint dir (fault
-    tolerant on a cluster), localCheckpoint otherwise (local mode)."""
+    tolerant on a cluster), localCheckpoint otherwise (local mode).
+
+    ``lazy_ok``: local-mode callers that immediately run an aggregation
+    over the result pass True — the lazy localCheckpoint then
+    materializes its blocks as a side effect of that SAME job, fusing
+    what used to be two driver barriers (checkpoint job + probe job)
+    into one. The reliable-checkpoint path stays eager: an RDD marked
+    for reliable checkpointing is recomputed by the checkpoint writer
+    after the first action, so laziness would double-compute there."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=not lazy_ok)
 
 
 def connected_components(
@@ -48,6 +58,7 @@ def connected_components(
     src: str = "src_id",
     dst: str = "dst_id",
     dedup_edges: bool = False,
+    metrics_out: list | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex appearing in `edges`.
     cluster_id = min doc_id in the component.
@@ -58,14 +69,23 @@ def connected_components(
     shuffle+dedup of the symmetrized edge table only pays for itself
     when the pair families overlap heavily; the engine's stages emit
     distinct pairs each, so overlap is the rare doc caught by two
-    families."""
+    families.
+
+    ``metrics_out``: optional list that receives one dict per probe
+    barrier {"iteration", "seconds", "label_sum", "converged"} — the
+    bench uses it to separate real propagation work from barrier
+    latency when comparing runs."""
     # Pin the symmetrized edge table: every probe is its own Spark job,
     # and an unpinned `e` would replay the union shuffle each round
-    # (shuffle reuse does not cross job boundaries).
+    # (shuffle reuse does not cross job boundaries). Lazy in local mode:
+    # the warm-start probe job below materializes e's blocks as a side
+    # effect, so edge pinning + label init + first probe are ONE job
+    # submission instead of three (the ~9s/stage fixed floor measured in
+    # BENCH/ANALYSIS_r2.md was mostly these serial barriers).
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    e = _truncate_lineage(sym.distinct() if dedup_edges else sym)
+    e = _truncate_lineage(sym.distinct() if dedup_edges else sym, lazy_ok=True)
     # Warm start: label(v) = min(v, min neighbor) — the result round 1
     # would produce, folded into the same shuffle the old doc_id-distinct
     # init already paid. Dup-pair graphs are shallow (exact-dup stars,
@@ -77,18 +97,33 @@ def connected_components(
         .select(
             "doc_id",
             F.least(F.col("doc_id"), F.col("min_nbr")).alias("cluster_id"),
-        )
+        ),
+        lazy_ok=True,
     )
     probe_every = max(1, cfg.cc_checkpoint_every)
-    # Seed the convergence probe with the warm-start label sum (labels is
-    # already materialized, so this is one cheap agg-only job). Combined
+
+    def probe(lab: DataFrame, it: int):
+        """One job: materializes any pending lazy checkpoints in lab's
+        plan AND computes the convergence sum (decimal(38,0) — immune to
+        64-bit wraparound on hash-derived ids)."""
+        t0 = time.monotonic()
+        s = lab.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+        if metrics_out is not None:
+            metrics_out.append(
+                {
+                    "iteration": it,
+                    "seconds": round(time.monotonic() - t0, 3),
+                    "label_sum": str(s),
+                }
+            )
+        return s
+
+    # Seed the convergence probe with the warm-start label sum. Combined
     # with probing after round 1, a graph the warm start fully converged
     # (stars and cliques — the shape of real dup graphs) exits after a
     # single confirming round instead of running probe_every rounds.
     # Deeper graphs fall back to the batched probe cadence.
-    prev_sum = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    ).first()[0]
+    prev_sum = probe(labels, -1)
     for it in range(cfg.cc_max_iterations):
         nbr = (
             e.join(labels, e.b == labels.doc_id)
@@ -128,10 +163,13 @@ def connected_components(
             or (it + 1) % probe_every == 0
             or it == cfg.cc_max_iterations - 1
         ):
-            labels = _truncate_lineage(labels)
-            label_sum = labels.agg(
-                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-            ).first()[0]
+            # Lazy checkpoint + probe = ONE job per barrier: the probe's
+            # aggregation computes the round's labels, persisting them as
+            # the checkpoint blocks the next round reads.
+            labels = _truncate_lineage(labels, lazy_ok=True)
+            label_sum = probe(labels, it)
+            if metrics_out is not None:
+                metrics_out[-1]["converged"] = label_sum == prev_sum
             if prev_sum is not None and label_sum == prev_sum:
                 break
             prev_sum = label_sum
@@ -141,10 +179,11 @@ def connected_components(
 def assign_clusters(
     docs: DataFrame, edges: DataFrame, cfg: DedupConfig = DEFAULT,
     id_col: str = "doc_id",
+    metrics_out: list | None = None,
 ) -> DataFrame:
     """Every doc gets a cluster_id (its own id when untouched by any edge)
     and is_representative (deterministic min-doc_id rule)."""
-    comp = connected_components(edges, cfg)
+    comp = connected_components(edges, cfg, metrics_out=metrics_out)
     return (
         docs.join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))

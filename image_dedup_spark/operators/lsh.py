@@ -8,12 +8,15 @@ Design (SURVEY.md §2.4 D2):
 
 Skew handling is explicit (north_rule): bucket sizes come from a
 map-side-combined hash aggregation; buckets over ``cfg.bucket_cap`` do
-NOT pair all-vs-all —
-they emit a star to the bucket's min doc_id instead. A star preserves
-the connected component (every member still reaches the same cluster)
-while cutting a boilerplate bucket from O(n²) to O(n) pairs; the
-dropped-pair count is reported via :func:`bucket_stats` so recall claims
-stay honest. AQE skew-join splitting covers residual imbalance.
+NOT pair all-vs-all — they emit a star to the bucket's min doc_id PLUS,
+when affordable, all-vs-all pairs inside ``cfg.salt_factor`` salted
+sub-buckets. The star preserves the connected component (every member
+still reaches the same cluster); the salted sub-bucket pairs recover
+direct edges between cohort members that the star alone would lose
+whenever the bucket mixes similarity cohorts (a star edge to an
+unrelated bucket-min dies in the verify). The dropped-pair count is
+reported via :func:`bucket_stats` so recall claims stay honest. AQE
+skew-join splitting covers residual imbalance.
 
 The pair condition ``src_id < dst_id`` mirrors the reference's
 lower-triangle ``i > j`` (samples.cpp:603-633) with deterministic ids.
@@ -24,7 +27,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from image_dedup_spark.caching import CacheScope
 from image_dedup_spark.config import DEFAULT, DedupConfig
+
+
+def _salt(cfg: DedupConfig) -> Column:
+    """Deterministic sub-bucket assignment for over-cap buckets. The SAME
+    expression in candidate_pairs and bucket_stats keeps the accounting
+    exact, not estimated."""
+    return F.pmod(F.xxhash64(F.lit("salt"), F.col("doc_id")), F.lit(cfg.salt_factor))
+
+
+def _salt_affordable(bucket_n: Column, cfg: DedupConfig) -> Column:
+    """Over-cap buckets get salted sub-bucket pairs only while bounded:
+    expected sub-bucket size <= bucket_cap AND expected total pairs
+    <= max_pairs_per_bucket. Beyond that, star-only (connectivity is
+    still preserved; forgone pairs stay visible in bucket_stats)."""
+    exp_pairs = bucket_n * (bucket_n - 1) / (2 * cfg.salt_factor)
+    return (bucket_n <= cfg.bucket_cap * cfg.salt_factor) & (
+        exp_pairs <= cfg.max_pairs_per_bucket
+    )
 
 
 def minhash_band_table(
@@ -45,19 +67,31 @@ def minhash_band_table(
 
 
 def candidate_pairs(
-    band_table: DataFrame, cfg: DedupConfig = DEFAULT, star: bool = True
+    band_table: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    star: bool = True,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Distinct candidate (src_id < dst_id) pairs from a (doc_id, band_key)
-    table, with the giant-bucket star fallback.
+    table, with the giant-bucket star+salt fallback.
 
     ``star=True`` is correct ONLY for high-precision band keys (minhash
     bands: collision ⇒ high similarity, so star edges to the bucket min
-    survive the downstream verify and preserve the component). For
-    low-precision keys (simhash's 8-bit bands) an over-cap bucket is
-    mostly random collisions: its star edges fail verify, wasting the
-    whole bucket's work and preserving nothing — callers pass
-    ``star=False`` to DROP over-cap buckets instead, with the forgone
-    pairs accounted in :func:`bucket_stats`."""
+    survive the downstream verify and preserve the component). Over-cap
+    buckets additionally pair all-vs-all inside ``cfg.salt_factor``
+    salted sub-buckets while :func:`_salt_affordable` holds — recovering
+    direct cohort edges the star alone would lose. For low-precision
+    keys (simhash's 8-bit bands) an over-cap bucket is mostly random
+    collisions: its star edges fail verify, wasting the whole bucket's
+    work and preserving nothing — callers pass ``star=False`` to DROP
+    over-cap buckets instead, with the forgone pairs accounted in
+    :func:`bucket_stats`.
+
+    ``scope``: optional :class:`CacheScope` owning the shared
+    non-singleton band materialization. Without one, nothing is cached
+    — the band subtree is recomputed per consumer, which is cheaper
+    below ~500k docs and leak-free by construction; big-corpus callers
+    pass a scope and release it after their consuming action."""
     # Bucket sizing picks its physical shape by key-space cardinality
     # (both measured at 1M docs):
     #
@@ -89,19 +123,26 @@ def candidate_pairs(
                 & (F.col("bucket_n") <= cfg.bucket_cap)
             )
         )
-        nonsingleton = band_table.join(sizes, "band_key").cache()
+        nonsingleton = band_table.join(sizes, "band_key")
+        if scope is not None:
+            nonsingleton = scope.cache(nonsingleton)
     else:
         w = Window.partitionBy("band_key")
         sized = band_table.withColumn(
             "bucket_n", F.count("*").over(w)
         ).withColumn("bucket_min", F.min("doc_id").over(w))
-        # Cache the non-singleton table: it feeds both sides of the
-        # self-join and the star branch, whose projections alias columns
-        # differently, so Catalyst's ReuseExchange never fires and the
+        # Scope-cache the non-singleton table when the caller provides a
+        # scope: it feeds both sides of the self-join and the star+salt
+        # branches, whose projections alias columns differently, so
+        # Catalyst's ReuseExchange never fires and the
         # scan→explode→window subtree would otherwise execute three
-        # times (measured: ~2× the stage's CPU). It holds only
-        # non-singleton band rows — a small fraction of the band table.
-        nonsingleton = sized.filter(F.col("bucket_n") >= 2).cache()
+        # times (measured: ~2× the stage's CPU at 1M+ docs; at <=200k
+        # the recompute is cheaper than the materialization pass, so
+        # small callers pass scope=None). It holds only non-singleton
+        # band rows — a small fraction of the band table.
+        nonsingleton = sized.filter(F.col("bucket_n") >= 2)
+        if scope is not None:
+            nonsingleton = scope.cache(nonsingleton)
     small = nonsingleton.filter(F.col("bucket_n") <= cfg.bucket_cap)
     a = small.select("band_key", F.col("doc_id").alias("src_id"))
     bb = small.select("band_key", F.col("doc_id").alias("dst_id"))
@@ -112,36 +153,73 @@ def candidate_pairs(
     if not star:
         return small_pairs.select("src_id", "dst_id").distinct()
 
-    big_pairs = (
-        nonsingleton.filter(
-            (F.col("bucket_n") > cfg.bucket_cap)
-            & (F.col("doc_id") != F.col("bucket_min"))
-        )
-        .select(
-            F.col("bucket_min").alias("src_id"),
-            F.col("doc_id").alias("dst_id"),
-        )
+    big = nonsingleton.filter(F.col("bucket_n") > cfg.bucket_cap)
+    star_pairs = big.filter(F.col("doc_id") != F.col("bucket_min")).select(
+        F.col("bucket_min").alias("src_id"),
+        F.col("doc_id").alias("dst_id"),
+    )
+    # Salted sub-bucket recovery (SURVEY §4's mandatory band-key salting):
+    # split an affordable over-cap bucket into salt_factor sub-buckets and
+    # pair all-vs-all within each — O(n²/s) pairs instead of O(n²), on top
+    # of the O(n) star. Within-sub-bucket pairs get the same exact verify
+    # as small-bucket pairs; cross-sub-bucket edges are covered by the
+    # star (connectivity) and by the other b-1 bands (direct pairs).
+    salted = big.filter(_salt_affordable(F.col("bucket_n"), cfg)).withColumn(
+        "sub", _salt(cfg)
+    )
+    sa = salted.select("band_key", "sub", F.col("doc_id").alias("src_id"))
+    sb = salted.select("band_key", "sub", F.col("doc_id").alias("dst_id"))
+    salted_pairs = sa.join(sb, ["band_key", "sub"]).filter(
+        F.col("src_id") < F.col("dst_id")
     )
 
     return (
         small_pairs.select("src_id", "dst_id")
-        .unionByName(big_pairs)
+        .unionByName(star_pairs)
+        .unionByName(salted_pairs.select("src_id", "dst_id"))
         .distinct()
     )
 
 
-def bucket_stats(band_table: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def bucket_stats(
+    band_table: DataFrame, cfg: DedupConfig = DEFAULT, star: bool = True
+) -> DataFrame:
     """Accounting for capped buckets: per-band-key size, whether it was
-    starred, and the number of all-vs-all pairs forgone (honesty metric)."""
-    g = band_table.groupBy("band_key").agg(F.count("*").alias("bucket_n"))
+    starred, and the number of all-vs-all pairs forgone (honesty metric).
+
+    Uses the SAME salt assignment as :func:`candidate_pairs`, so the
+    per-bucket emitted/dropped counts are exact, not expectations.
+    ``star`` must match the candidate_pairs call being accounted for:
+    star=False (the simhash contract) emits nothing from over-cap
+    buckets."""
+    sub = band_table.withColumn("sub", _salt(cfg)).groupBy(
+        "band_key", "sub"
+    ).agg(F.count("*").alias("sub_n"), F.min("doc_id").alias("sub_min"))
+    g = sub.groupBy("band_key").agg(
+        F.sum("sub_n").alias("bucket_n"),
+        F.sum(F.col("sub_n") * (F.col("sub_n") - 1) / 2)
+        .cast("long")
+        .alias("salted_pairs"),
+        # size of the sub-bucket holding the bucket's min doc: its star
+        # edges coincide with salted pairs and are distinct()'d away in
+        # candidate_pairs, so the exact emitted count subtracts them.
+        F.min_by("sub_n", "sub_min").alias("min_sub_n"),
+    )
     starred = F.col("bucket_n") > cfg.bucket_cap
     full = (F.col("bucket_n") * (F.col("bucket_n") - 1) / 2).cast("long")
-    emitted = F.when(starred, F.col("bucket_n") - 1).otherwise(full)
+    if star:
+        over_cap_emitted = F.col("bucket_n") - 1 + F.when(
+            _salt_affordable(F.col("bucket_n"), cfg),
+            F.col("salted_pairs") - (F.col("min_sub_n") - 1),
+        ).otherwise(F.lit(0))
+    else:
+        over_cap_emitted = F.lit(0)
+    emitted = F.when(starred, over_cap_emitted).otherwise(full)
     return g.select(
         "band_key",
         "bucket_n",
         starred.alias("starred"),
-        (full - emitted).alias("pairs_dropped"),
+        (full - emitted).cast("long").alias("pairs_dropped"),
     )
 
 
@@ -264,9 +342,16 @@ def verify_pairs(
 
 
 def minhash_dup_pairs(
-    fingerprints: DataFrame, cfg: DedupConfig = DEFAULT, mode: str = "exact"
+    fingerprints: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    mode: str = "exact",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
-    """signature table -> verified duplicate-pair edges (D2+F4 analogue)."""
+    """signature table -> verified duplicate-pair edges (D2+F4 analogue).
+
+    ``scope`` (big corpora only): owns the candidate-table cache; the
+    caller releases it after the consuming action — no InMemoryRelation
+    outlives the call site."""
     bands = minhash_band_table(fingerprints, cfg)
-    cands = candidate_pairs(bands, cfg)
+    cands = candidate_pairs(bands, cfg, scope=scope)
     return verify_pairs(cands, fingerprints, cfg, mode=mode)

@@ -15,6 +15,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from image_dedup_spark.caching import CacheScope
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -96,6 +98,7 @@ def lsh_topk(
     bucket_cap: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: "CacheScope | None" = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing a bucket in any of
     n_tables independent hyperplane tables; exact cosine re-rank within
@@ -144,9 +147,14 @@ def lsh_topk(
         for bcol in bits[1:]:
             sig = sig + bcol
         sig_cols.append(sig.cast("long").alias(f"_b{t}"))
-    # narrow signature table (id + n_tables longs) feeds both join sides;
-    # cache so the dot-product projection runs once, not twice.
-    sigs = df.select(F.col(id_col), *sig_cols).cache()
+    # Narrow signature table (id + n_tables longs) feeds both join sides.
+    # With a caller-owned scope the dot-product projection materializes
+    # once and the caller unpersists after its consuming action; without
+    # one nothing is cached (leak-free default — the projection is
+    # recomputed per side, still a single scan each).
+    sigs = df.select(F.col(id_col), *sig_cols)
+    if scope is not None:
+        sigs = scope.cache(sigs)
     entries = F.array(
         *[
             F.struct(

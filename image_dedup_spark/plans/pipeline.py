@@ -41,6 +41,8 @@ from image_dedup_spark.operators import (
 from image_dedup_spark.operators import (
     substring as SUB,
 )
+from image_dedup_spark.caching import CacheScope
+from image_dedup_spark.session import tune_for_corpus
 from image_dedup_spark.sources import io as IO
 
 # Bump whenever stage names, stage order, or stage output schemas change:
@@ -136,19 +138,10 @@ def run_pipeline(
     filtered = stage("01_filtered", lambda: Q.keep(pages, cfg))
     quarantine = stage("01_quarantine", lambda: Q.quarantine(pages, cfg))
 
-    # Size initial shuffle partitions by data volume, now that the
-    # filtered stage's materialized row count is known: one initial
-    # partition per ~10k docs, floored at 8/core, capped at the session
-    # default of 32/core (AQE coalesces further down per stage). Small
-    # corpora otherwise pay hundreds of partitions' task-scheduling
-    # latency on MB-sized shuffles; huge corpora keep the cap, where
-    # partition counts must track the executor fleet instead.
+    # Corpus-sized runtime confs (shuffle partitions + join preference),
+    # now that the filtered stage's materialized row count is known.
     n_filtered = metrics[-2]["rows_out"]
-    ncores = spark.sparkContext.defaultParallelism
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(8 * ncores, min(32 * ncores, n_filtered // 10_000))),
-    )
+    tune_for_corpus(spark, n_filtered)
 
     # Exact dedup BEFORE the fingerprint UDF — the reference's own stage
     # order (md5 dedup precedes phash/dhash, image_deduper.cpp:293-359):
@@ -177,12 +170,22 @@ def run_pipeline(
         .select("doc_id", "url", "text", "fp.*"),
     )
 
-    minhash_pairs = stage(
+    # Candidate caches are scoped per stage and released as soon as the
+    # stage's own materialization finishes — nothing stays pinned across
+    # stages or past the pipeline.
+    def _near_pair_stage(name: str, build_with_scope):
+        with CacheScope() as scope:
+            return stage(name, lambda: build_with_scope(scope))
+
+    minhash_pairs = _near_pair_stage(
         "04_minhash_pairs",
-        lambda: LSH.minhash_dup_pairs(fingerprints, cfg, mode=verify_mode),
+        lambda scope: LSH.minhash_dup_pairs(
+            fingerprints, cfg, mode=verify_mode, scope=scope
+        ),
     )
-    simhash_pairs = stage(
-        "05_simhash_pairs", lambda: SB.simhash_dup_pairs(fingerprints, cfg)
+    simhash_pairs = _near_pair_stage(
+        "05_simhash_pairs",
+        lambda scope: SB.simhash_dup_pairs(fingerprints, cfg, scope=scope),
     )
 
     all_pairs = [exact_pairs, minhash_pairs, simhash_pairs]

@@ -24,6 +24,19 @@ def _spark_submit() -> str | None:
     return shutil.which("spark-submit")
 
 
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def run_bench(
     cores: int,
     expansion: int,
@@ -39,19 +52,30 @@ def run_bench(
         REPO, "BENCH", f"leg_c{cores}_x{expansion}{suffix}.json"
     )
     # Resume: a leg costs 30+ minutes; if a previous invocation of this
-    # exact (cores, expansion, repeat) leg already persisted its result
-    # and the caller opts in (engine code unchanged since), reuse it
+    # exact (cores, expansion, repeat) leg already persisted its result,
+    # the caller opts in, AND the leg's stamp matches the current git
+    # HEAD and input dir (a leg measured on older code or different
+    # input must never enter the report as current evidence), reuse it
     # instead of burning the measurement again.
     if os.environ.get("SPARK_GRAFT_SCALE_RESUME") == "1" and os.path.exists(
         leg_path
     ):
         with open(leg_path) as f:
-            return json.load(f)
+            prior = json.load(f)
+        stamp = prior.get("_meta", {})
+        if stamp.get("git_sha") == _git_sha() and stamp.get("sf_dir") == sf_dir:
+            return prior
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_BENCH_EXPANSION=str(expansion),
         SPARK_GRAFT_SF_DIR=sf_dir,
+        # Scaling legs fuse the two near-dup pair families into ONE job
+        # (bench.py q_dup_pairs): a shared fingerprint scan and a single
+        # job submission halve the per-stage fixed floor (~9s/stage,
+        # BENCH/ANALYSIS_r2.md) that capped round-2 efficiency. The
+        # driver's unfused bench still reports the families separately.
+        SPARK_GRAFT_FUSE_PAIRS=os.environ.get("SPARK_GRAFT_FUSE_PAIRS", "1"),
     )
     submit = _spark_submit()
     # Memory scales with cores (the real-cluster analog: same executor
@@ -80,8 +104,10 @@ def run_bench(
             f"bench produced no JSON (cmd={cmd[0]}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
         )
     res = json.loads(lines[-1])
-    # persist each leg immediately so a crashed/killed sibling leg never
-    # loses this one's 30+ minutes of measurement
+    # persist each leg immediately (a crashed sibling leg never loses
+    # this one's measurement), stamped with the code version + input so
+    # the resume path can verify it is still current evidence
+    res["_meta"] = {"git_sha": _git_sha(), "sf_dir": sf_dir}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(leg_path, "w") as f:
         json.dump(res, f)
@@ -130,6 +156,7 @@ def write_report(
     stage_names = {
         "q_exact_dedup": "exact dedup",
         "q_fingerprint": "fingerprint (Arrow UDF)",
+        "q_dup_pairs": "near-dup pairs (minhash+simhash, one fused job)",
         "q_minhash_lsh_pairs": "minhash LSH pairs",
         "q_simhash_pairs": "simhash pairs",
         "q_connected_components": "connected components",
@@ -213,6 +240,15 @@ def main() -> None:
         runs_n.append(run_bench(n, expansion, sf_dir, pyfiles, suffix))
         runs_4n.append(run_bench(four_n, expansion, sf_dir, pyfiles, suffix))
     eff = write_report(runs_n, runs_4n, n, four_n, expansion)
+    # regenerate the secondary-evidence appendix (computed from the leg
+    # files) on every report rewrite — write_report starts the file from
+    # scratch, so the appendix must be re-derived, not preserved by hand
+    from append_scaling_context import secondary_sections
+
+    extra = secondary_sections()
+    if extra:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(extra)
     if repeats > 1:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
