@@ -970,6 +970,24 @@ def q_pipeline_clusters(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id", "is_representative")
 
 
+def q_pipeline_sequential_clusters(spark, sf_dir):
+    """O2 in the reference-parity SEQUENTIAL stage order
+    (image_deduper.cpp:293-359: the second fingerprint family runs only
+    on the first family's survivors). Oracle: the SAME truth partition
+    as the union-of-edges pipeline — the two designs agree whenever no
+    removed doc's simhash edge bridges two stage-one clusters that no
+    survivor also bridges. That precondition holds on this corpus by
+    construction (near-dup cohorts are internally transitive: every
+    simhash edge lies inside an exact/Jaccard-truth component, so
+    removing non-representatives cannot disconnect evidence); the
+    counterexample where the designs differ is pinned in
+    tests/test_pipeline.py, and union-of-edges is the shipping default
+    for exactly that order-independence."""
+    pages = documents_as_pages(spark, sf_dir)
+    res = run_pipeline(spark, pages, include_substring=False, sequential=True)
+    return res.clusters.select("doc_id", "cluster_id", "is_representative")
+
+
 SQL_PIPELINE_CLUSTERS = f"""
 WITH RECURSIVE
 kept AS (SELECT doc_id, text FROM documents
@@ -1089,29 +1107,52 @@ WHERE NOT EXISTS (
 
 def q_suffix_array_spans(spark, sf_dir):
     """Suffix-array substring mode: per-pair-exhaustive exact shared
-    spans >= 128 bytes (CDC chunk groups -> per-group suffix array +
-    Kasai LCP block scan). The reference's unimplemented TODO
+    spans >= cdc_min_span bytes (CDC chunk groups -> per-group suffix
+    array + Kasai LCP block scan). The reference's unimplemented TODO
     (main.cpp:86-87). Oracle: the (src_id, dst_id, span_len) projection
     equals the per-pair longest-common-substring relation, which DuckDB
-    computes via diagonal runs of matching 128-char windows. Positions
-    are oracle-excluded (max-length-tie winner is scan-order-dependent,
-    see _group_suffix_spans) but pytest byte-equality re-checks them
-    (tests/test_substring.py)."""
+    computes via diagonal runs of matching cdc_min_span-char windows.
+
+    EQUIVALENCE PRECONDITION (the oracle is the unconditional all-pairs
+    LCS; the operator inspects only CDC-candidate pairs, so equality is
+    data-dependent, not structural). It holds iff, for every pair with
+    a shared span >= cdc_min_span bytes:
+      (1) the span contains at least one complete shared CDC chunk —
+          i.e. >= 2 anchors (expected anchor gap 2^cdc_mask_bits = 64
+          bytes, so a span near the 128-byte minimum can miss this with
+          small probability);
+      (2) that chunk is shared by <= bucket_cap (256) docs (heavier
+          boilerplate chunks are dropped with accounting); and
+      (3) docs are ASCII (SQL chars == operator bytes) and <=
+          max_text_bytes (no truncation divergence).
+    The testdata satisfies all three (verified bit-for-bit at sf0.001/
+    sf0.01; the generator's 256-char boilerplate spans carry ~4 anchors
+    and appear on far fewer than 256 docs). On data violating the
+    precondition the OPERATOR is still correct for its stated contract
+    (spans discoverable through shared chunks); it is the ORACLE that
+    would over-claim — re-derive or drop the oracle entry before
+    pointing this query at such a corpus.
+
+    Positions are oracle-excluded (max-length-tie winner is
+    scan-order-dependent, see _group_suffix_spans) but pytest
+    byte-equality re-checks them (tests/test_substring.py)."""
     return SUB.suffix_array_spans(_docs(spark, sf_dir), DEFAULT).select(
         "src_id", "dst_id", "span_len"
     )
 
 
-# Windows at every char position; a common substring of length L >= 128
-# is exactly a run of L-127 consecutive window matches on one diagonal
-# (sp - dp). max over runs per pair == per-pair LCS length, the same
-# quantity the exhaustive suffix-array scan maximizes (texts are ASCII,
-# so SQL chars == the operator's utf-8 bytes).
-SQL_SUFFIX_ARRAY_SPANS = """
+# Windows at every char position; a common substring of length L >= W
+# (W = cdc_min_span) is exactly a run of L-(W-1) consecutive window
+# matches on one diagonal (sp - dp). max over runs per pair == per-pair
+# LCS length, the same quantity the exhaustive suffix-array scan
+# maximizes. All width constants derive from DEFAULT.cdc_min_span so a
+# config change cannot desynchronize oracle and operator.
+_W = DEFAULT.cdc_min_span
+SQL_SUFFIX_ARRAY_SPANS = f"""
 WITH w AS (
-  SELECT doc_id, i AS pos, substring(text, i::int, 128) AS win
+  SELECT doc_id, i AS pos, substring(text, i::int, {_W}) AS win
   FROM documents,
-       unnest(list_transform(range(1, greatest(length(text) - 126, 1)), x -> x)) AS t(i)
+       unnest(list_transform(range(1, greatest(length(text) - {_W - 2}, 1)), x -> x)) AS t(i)
 ),
 m AS (
   SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.pos AS sp, a.pos - b.pos AS diag
@@ -1123,7 +1164,7 @@ i AS (
   FROM m
 ),
 runs AS (
-  SELECT src_id, dst_id, CAST(count(*) + 127 AS BIGINT) AS span_len
+  SELECT src_id, dst_id, CAST(count(*) + {_W - 1} AS BIGINT) AS span_len
   FROM i GROUP BY src_id, dst_id, diag, island
 )
 SELECT src_id, dst_id, max(span_len) AS span_len
@@ -1239,27 +1280,49 @@ SQL_EMBEDDING_LSH_TOPK = _ann_oracle_sql()
 
 
 def q_extraction_errors(spark, sf_dir):
-    """F3 analogue (catch_non_silent.py): error-capturing extraction
-    UDF html -> struct(text, error). A deterministic subset of payloads
-    (doc_id % 50 == 0) is truncated mid-wrapper to plant decode
-    failures; clean rows reproduce the text byte-identically (the
-    per-row invariant), failed rows carry a taxonomy code."""
+    """F3 analogue (catch_non_silent.py:84-111 — the validator's
+    three-way good / harmless-warning / bad split): error-capturing
+    extraction UDF html -> struct(text, error, warning). Deterministic
+    payload slices plant each lane:
+
+    * doc_id % 50 == 0 — truncated mid-wrapper -> bad (missing_wrapper)
+    * doc_id % 50 == 1 — UTF-8 BOM prefix -> warned (bom_stripped),
+      text kept byte-identical
+    * doc_id % 50 == 2 — a lone 0xFF byte injected after the opening
+      wrapper -> warned (replaced_chars), text kept with one leading
+      U+FFFD substitution visible
+    * everything else — clean; text reproduced byte-identically (the
+      per-row invariant)."""
     from image_dedup_spark.operators import extraction as EXTR
 
     pages = documents_as_pages(spark, sf_dir).select("doc_id", "html")
     s = F.col("html").cast("string")
-    corrupted = F.when(
-        F.col("doc_id") % 50 == 0,
-        F.substring(s, F.lit(1), F.length(s) - F.lit(10)),
-    ).otherwise(s)
-    pages = pages.select("doc_id", corrupted.cast("binary").alias("html"))
-    return EXTR.extract_text(pages).select("doc_id", "text", "error")
+    m = F.col("doc_id") % 50
+    corrupted = (
+        F.when(m == 0, F.substring(s, F.lit(1), F.length(s) - F.lit(10)).cast("binary"))
+        .when(m == 1, F.concat(F.unhex(F.lit("EFBBBF")), F.col("html")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<html><body>").cast("binary"),
+                F.unhex(F.lit("FF")),
+                F.substring(s, F.lit(13), F.length(s)).cast("binary"),
+            ),
+        )
+        .otherwise(F.col("html"))
+    )
+    pages = pages.select("doc_id", corrupted.alias("html"))
+    return EXTR.extract_text(pages).select("doc_id", "text", "error", "warning")
 
 
 SQL_EXTRACTION_ERRORS = """
 SELECT doc_id,
-       CASE WHEN doc_id % 50 = 0 THEN NULL ELSE text END AS text,
-       CASE WHEN doc_id % 50 = 0 THEN 'missing_wrapper' END AS error
+       CASE WHEN doc_id % 50 = 0 THEN NULL
+            WHEN doc_id % 50 = 2 THEN chr(65533) || text
+            ELSE text END AS text,
+       CASE WHEN doc_id % 50 = 0 THEN 'missing_wrapper' END AS error,
+       CASE WHEN doc_id % 50 = 1 THEN 'bom_stripped'
+            WHEN doc_id % 50 = 2 THEN 'replaced_chars' END AS warning
 FROM documents
 """
 
@@ -1326,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_substring_pairs": q_cdc_substring_pairs,
         "chunk_run_spans": q_chunk_run_spans,
         "pipeline_clusters": q_pipeline_clusters,
+        "pipeline_sequential_clusters": q_pipeline_sequential_clusters,
         "greedy_survivors": q_greedy_survivors,
         "near_remain_minhash": q_near_remain_minhash,
         "binary_meta": q_binary_meta,
@@ -1369,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_substring_pairs": SQL_CDC_SUBSTRING_PAIRS,
         "chunk_run_spans": SQL_CHUNK_RUN_SPANS,
         "pipeline_clusters": SQL_PIPELINE_CLUSTERS,
+        "pipeline_sequential_clusters": SQL_PIPELINE_CLUSTERS,
         "greedy_survivors": SQL_GREEDY_SURVIVORS,
         "near_remain_minhash": SQL_NEAR_REMAIN_MINHASH,
         "binary_meta": SQL_BINARY_META,

@@ -128,13 +128,36 @@ def cmd_dedup_near(spark, a):
     _write(clusters, a.output)
 
 
+def _namespaced(df, tag: str):
+    """Collision-proof doc_ids for multi-dataset folds. The reference
+    keys rows by path string — globally unique by construction
+    (image_deduper.cpp:143-157); here two independently-fingerprinted
+    corpora can collide on doc_id, which would silently conflate rows in
+    the folded table and any downstream clustering. Re-key as
+    xxhash64(dataset_tag, doc_id), keeping the original id
+    (``src_doc_id``) and the tag (``dataset``) as columns. Tables that
+    already carry a ``dataset`` column (output of a previous merge) pass
+    through untouched, so chained folds keep stable ids."""
+    if "dataset" in df.columns:
+        return df
+    rest = [c for c in df.columns if c != "doc_id"]
+    return df.select(
+        F.xxhash64(F.lit(tag), F.col("doc_id")).alias("doc_id"),
+        F.col("doc_id").alias("src_doc_id"),
+        F.lit(tag).alias("dataset"),
+        *rest,
+    )
+
+
 def cmd_merge(spark, a):
     """Sequential left-fold over the incoming fingerprint tables, earlier
     datasets' copies winning — the reference folds a LIST of datasets the
-    same way (/root/reference/image_deduper.cpp:143-157)."""
-    acc = _read(spark, a.acc)
+    same way (/root/reference/image_deduper.cpp:143-157). Every input is
+    namespaced first (:func:`_namespaced`), so overlapping doc_id ranges
+    across independently-fingerprinted corpora never conflate."""
+    acc = _namespaced(_read(spark, a.acc), a.acc)
     for path in a.incoming:
-        inc = _read(spark, path)
+        inc = _namespaced(_read(spark, path), path)
         acc = XC.near_merge(acc, acc, inc, inc, DEFAULT)
     _write(acc, a.output)
 
@@ -154,6 +177,7 @@ def cmd_pipeline(spark, a):
         checkpoint_dir=a.checkpoint_dir,
         include_substring=a.substring,
         verify_mode=a.verify,
+        sequential=a.sequential,
     )
     _write(res.clusters, CAT.sub_target(a.output, "clusters"))
     _write(res.survivors, CAT.sub_target(a.output, "survivors"))
@@ -226,6 +250,13 @@ def main(argv=None):
     sp.add_argument("--checkpoint-dir")
     sp.add_argument("--substring", action="store_true")
     sp.add_argument("--verify", default="exact", choices=["exact", "estimate"])
+    sp.add_argument(
+        "--sequential",
+        action="store_true",
+        help="reference-parity stage order: simhash runs only on the "
+        "minhash stage's survivors (default: union-of-edges, one "
+        "order-independent clustering)",
+    )
     sp.set_defaults(fn=cmd_pipeline)
 
     a = p.parse_args(argv)

@@ -105,7 +105,27 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     include_substring: bool = False,
     verify_mode: str = "exact",
+    sequential: bool = False,
 ) -> PipelineResult:
+    """``sequential=False`` (default): both near-dup families' pair
+    edges are computed over the SAME exact-dedup survivor set and
+    unioned into one clustering — one CC pass, no order dependence.
+
+    ``sequential=True`` is the reference-parity mode
+    (image_deduper.cpp:293-359: phash dedup REMOVES duplicates, then
+    dhash runs only on the survivors): MinHash pairs cluster first,
+    and SimHash pairs are computed only among that stage's
+    representatives; the final CC over (exact ∪ minhash ∪
+    survivor-simhash) edges composes the two stages exactly. The modes
+    agree whenever a removed doc's simhash edges never bridge two
+    stage-one clusters that no surviving doc also bridges — true on
+    cohort-structured corpora (each near-dup cohort is internally
+    transitive); the counterexample (A-B minhash, B-C simhash only:
+    union joins all three, sequential keeps C separate — exactly the
+    reference's order-dependent outcome) is pinned in
+    tests/test_pipeline.py. Union-of-edges ships as the default
+    because one clustering over all evidence is order-independent and
+    never splits what any family joins."""
     _check_format_marker(checkpoint_dir)
     metrics: list[dict] = []
 
@@ -183,10 +203,33 @@ def run_pipeline(
             fingerprints, cfg, mode=verify_mode, scope=scope
         ),
     )
-    simhash_pairs = _near_pair_stage(
-        "05_simhash_pairs",
-        lambda scope: SB.simhash_dup_pairs(fingerprints, cfg, scope=scope),
-    )
+    if sequential:
+        # Reference-parity: cluster the exact+minhash evidence first,
+        # then run the SimHash family only on that stage's survivors
+        # (distinct stage names — a checkpoint dir is never ambiguous
+        # between modes; 04_minhash_pairs is mode-independent and reused).
+        stage_a_clusters = stage(
+            "05_stage_a_clusters",
+            lambda: CC.assign_clusters(
+                filtered.select("doc_id", "url"),
+                exact_pairs.unionByName(minhash_pairs),
+                cfg,
+            ),
+        )
+        surv_a_fp = fingerprints.join(
+            stage_a_clusters.filter(F.col("is_representative")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        simhash_pairs = _near_pair_stage(
+            "06_simhash_pairs_sequential",
+            lambda scope: SB.simhash_dup_pairs(surv_a_fp, cfg, scope=scope),
+        )
+    else:
+        simhash_pairs = _near_pair_stage(
+            "05_simhash_pairs",
+            lambda scope: SB.simhash_dup_pairs(fingerprints, cfg, scope=scope),
+        )
 
     all_pairs = [exact_pairs, minhash_pairs, simhash_pairs]
     if include_substring:

@@ -62,8 +62,40 @@ def test_cli_merge_folds_multiple_incoming_earlier_wins(spark, tmp_path_factory)
         "merge", "--acc", a, "--incoming", b, "--incoming", c,
         "--output", f"{root}/out",
     ]) == 0
-    got = {r.doc_id for r in spark.read.parquet(f"{root}/out").collect()}
-    assert got == {1, 2, 12, 22}
+    out = spark.read.parquet(f"{root}/out").collect()
+    got = {(r.dataset, r.src_doc_id) for r in out}
+    assert got == {(a, 1), (a, 2), (b, 12), (c, 22)}
+    # the namespaced ids are what downstream clustering keys on — unique
+    assert len({r.doc_id for r in out}) == len(out)
+
+
+def test_cli_merge_overlapping_doc_ids_never_conflate(
+    spark, tmp_path_factory
+):
+    """Two independently-fingerprinted corpora may reuse the same doc_id
+    range (the reference keys by path string, globally unique by
+    construction — image_deduper.cpp:143-157). The fold must keep both
+    rows distinguishable, not silently conflate them."""
+    root = str(tmp_path_factory.mktemp("mergens"))
+
+    def mk(name, items):
+        df = spark.createDataFrame(
+            [(i, [v] * 128) for i, v in items], "doc_id long, minhash array<int>"
+        )
+        df.write.mode("overwrite").parquet(f"{root}/{name}")
+        return f"{root}/{name}"
+
+    # SAME doc_id 1 in both datasets, different content (not near-dups);
+    # doc_id 2 in b IS a near-dup of acc's 2 -> earlier (acc) wins.
+    a = mk("acc", [(1, 10), (2, 20)])
+    b = mk("b", [(1, 99), (2, 20)])
+    assert main([
+        "merge", "--acc", a, "--incoming", b, "--output", f"{root}/out",
+    ]) == 0
+    out = spark.read.parquet(f"{root}/out").collect()
+    got = {(r.dataset, r.src_doc_id) for r in out}
+    assert got == {(a, 1), (a, 2), (b, 1)}  # b's 1 kept, b's 2 dropped
+    assert len({r.doc_id for r in out}) == 3  # no id collision survives
 
 
 def test_cli_extract_quarantines_malformed(spark, corpus, tmp_path_factory):

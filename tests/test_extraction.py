@@ -9,20 +9,50 @@ from image_dedup_spark.operators import extraction as EXTR
 def test_extraction_error_taxonomy(spark):
     rows = [
         (1, "<html><body>hello world</body></html>".encode()),
+        # lossy-recoverable: replace-decode still yields a well-formed
+        # doc -> warn-but-keep (the reference's harmless-warning lane)
         (2, b"<html><body>\xff\xfe\x80 bad bytes</body></html>"),
         (3, "<div>no wrapper</div>".encode()),
         (4, None),
         (5, b""),
         (6, "<html><body></body></html>".encode()),  # empty body is CLEAN
+        # unrecoverable: even replace-decode lacks the wrapper
+        (7, b"\xff\xfe not html at all"),
+        # BOM: stripped, decoded, flagged
+        (8, b"\xef\xbb\xbf" + "<html><body>bom doc</body></html>".encode()),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html binary")
-    out = {r.doc_id: (r.text, r.error) for r in EXTR.extract_text(df).collect()}
-    assert out[1] == ("hello world", None)
-    assert out[2] == (None, "invalid_utf8")
-    assert out[3] == (None, "missing_wrapper")
-    assert out[4] == (None, "empty_payload")
-    assert out[5] == (None, "empty_payload")
-    assert out[6] == ("", None)
+    out = {
+        r.doc_id: (r.text, r.error, r.warning)
+        for r in EXTR.extract_text(df).collect()
+    }
+    assert out[1] == ("hello world", None, None)
+    assert out[2] == ("��� bad bytes", None, "replaced_chars")
+    assert out[3] == (None, "missing_wrapper", None)
+    assert out[4] == (None, "empty_payload", None)
+    assert out[5] == (None, "empty_payload", None)
+    assert out[6] == ("", None, None)
+    assert out[7] == (None, "invalid_utf8", None)
+    assert out[8] == ("bom doc", None, "bom_stripped")
+
+
+def test_extraction_three_way_split(spark):
+    rows = [
+        (1, "<html><body>clean</body></html>".encode()),
+        (2, b"<html><body>\x80warned</body></html>"),
+        (3, "<p>bad</p>".encode()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    ex = EXTR.extract_text(df)
+    clean, warned, bad = EXTR.split_three(ex)
+    assert [r.doc_id for r in clean.collect()] == [1]
+    w = warned.collect()
+    assert [r.doc_id for r in w] == [2] and w[0].warning == "replaced_chars"
+    assert [r.doc_id for r in bad.collect()] == [3]
+    # warn-but-keep: the two-way split keeps warned rows on the kept side
+    kept, quar = EXTR.split_quarantine(ex)
+    assert {r.doc_id for r in kept.collect()} == {1, 2}
+    assert {r.doc_id for r in quar.collect()} == {3}
 
 
 def test_extraction_split_and_per_row_invariant(spark, corpus):

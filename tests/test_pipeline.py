@@ -34,6 +34,52 @@ def test_pipeline_end_to_end(spark, corpus):
     ).count() == 0
 
 
+def test_pipeline_sequential_matches_union_on_cohort_corpus(spark, corpus):
+    """Reference-parity mode (image_deduper.cpp:293-359): SimHash runs
+    only on the MinHash stage's survivors. On cohort-structured corpora
+    (every near-dup relation internally transitive) the two designs
+    yield the SAME partition — the equivalence precondition stated in
+    run_pipeline's docstring."""
+    pages, _ = corpus
+    union = run_pipeline(spark, pages)
+    seq = run_pipeline(spark, pages, sequential=True)
+    stages = [m["stage"] for m in seq.metrics]
+    assert "05_stage_a_clusters" in stages
+    assert "06_simhash_pairs_sequential" in stages
+    u = {(r.doc_id, r.cluster_id) for r in union.clusters.collect()}
+    s = {(r.doc_id, r.cluster_id) for r in seq.clusters.collect()}
+    assert u == s
+
+
+def test_sequential_counterexample_semantics(spark):
+    """The documented case where the two designs DIFFER (why
+    union-of-edges is the default): A-B linked by family 1, B-C linked
+    only by family 2. Sequential removes B after stage one, so family 2
+    never sees the B-C edge and C stays separate — the reference's
+    order-dependent outcome. Union links all three. Pinned at the
+    clustering level (composition semantics are independent of how the
+    pair families are computed)."""
+    from image_dedup_spark.operators import components as CC
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    fam1 = spark.createDataFrame([(1, 2)], "src_id long, dst_id long")
+    fam2_all = spark.createDataFrame([(2, 3)], "src_id long, dst_id long")
+
+    # union-of-edges: one clustering over all evidence
+    union = CC.assign_clusters(docs, fam1.unionByName(fam2_all))
+    assert {r.cluster_id for r in union.collect()} == {1}
+
+    # sequential: family 2 pairs only among stage-one survivors {1, 3}
+    stage_a = CC.assign_clusters(docs, fam1)
+    survivors = {r.doc_id for r in stage_a.filter("is_representative").collect()}
+    assert survivors == {1, 3}
+    fam2_seq = fam2_all.filter(
+        F.col("src_id").isin(survivors) & F.col("dst_id").isin(survivors)
+    )
+    seq = CC.assign_clusters(docs, fam1.unionByName(fam2_seq))
+    assert {r.doc_id: r.cluster_id for r in seq.collect()} == {1: 1, 2: 1, 3: 3}
+
+
 def test_pipeline_resume_idempotent(spark, corpus, tmp_path_factory):
     pages, _ = corpus
     ckpt = str(tmp_path_factory.mktemp("ckpt"))
