@@ -37,6 +37,25 @@ def _git_sha() -> str:
         return "unknown"
 
 
+def _pin_cpus() -> bool:
+    """True when legs should be pinned to exactly `cores` physical CPUs.
+
+    An unpinned local[N] leg is NOT an N-core machine: the JVM's GC /
+    netty / shuffle threads and the Python Arrow workers run on top of
+    the N task slots and soak up extra physical cores. That inflates the
+    low-core leg's throughput (round-2 quantified ~25% steal; the
+    round-3 unpinned 2c legs sped up 900→592s on the same stage across
+    repeats) and so UNDERSTATES scaling efficiency. `taskset -c 0-(N-1)`
+    gives the whole process tree exactly N CPUs — the real-cluster
+    analog, where an N-core executor shares those N cores with all of
+    its own overhead threads. Default on when taskset exists.
+    """
+    v = os.environ.get("SPARK_GRAFT_PIN_CPUS")
+    if v is not None:
+        return v == "1"
+    return shutil.which("taskset") is not None
+
+
 def run_bench(
     cores: int,
     expansion: int,
@@ -48,6 +67,7 @@ def run_bench(
     path (the north_rule's submit mechanism) when spark-submit is on
     PATH; plain ``python bench.py`` otherwise (identical job either way —
     bench.py builds its own session from $SPARK_GRAFT_CPUS)."""
+    pinned = _pin_cpus()
     leg_path = os.path.join(
         REPO, "BENCH", f"leg_c{cores}_x{expansion}{suffix}.json"
     )
@@ -63,7 +83,11 @@ def run_bench(
         with open(leg_path) as f:
             prior = json.load(f)
         stamp = prior.get("_meta", {})
-        if stamp.get("git_sha") == _git_sha() and stamp.get("sf_dir") == sf_dir:
+        if (
+            stamp.get("git_sha") == _git_sha()
+            and stamp.get("sf_dir") == sf_dir
+            and stamp.get("pinned", False) == pinned
+        ):
             return prior
     env = dict(
         os.environ,
@@ -95,6 +119,8 @@ def run_bench(
         ]
     else:
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if pinned:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=3600
     )
@@ -107,7 +133,7 @@ def run_bench(
     # persist each leg immediately (a crashed sibling leg never loses
     # this one's measurement), stamped with the code version + input so
     # the resume path can verify it is still current evidence
-    res["_meta"] = {"git_sha": _git_sha(), "sf_dir": sf_dir}
+    res["_meta"] = {"git_sha": _git_sha(), "sf_dir": sf_dir, "pinned": pinned}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(leg_path, "w") as f:
         json.dump(res, f)
@@ -185,7 +211,11 @@ def write_report(
 Protocol (BASELINE.md): identical job, identical deterministic input
 ({r_n['n_docs']} docs = sf{r_n['sf']} documents × {expansion} expansion),
 two local parallelism levels, shuffle partitions scaled with cores,
-{len(runs_n)} interleaved repeats per level.
+{len(runs_n)} interleaved repeats per level{", each leg CPU-pinned via "
+f"taskset to exactly its core count (an unpinned local[N] leg lets JVM "
+f"GC/shuffle threads and Python workers soak up extra physical cores, "
+f"inflating the low-core leg and understating efficiency)"
+if _pin_cpus() else ""}.
 
 | level | cores | median pipeline sec | median docs/sec |
 |---|---|---|---|
@@ -235,8 +265,9 @@ def main() -> None:
 
     pyfiles = build()
     runs_n, runs_4n = [], []
+    pin_tag = "_pin" if _pin_cpus() else ""
     for i in range(repeats):
-        suffix = f"_r{i}" if repeats > 1 else ""
+        suffix = f"{pin_tag}_r{i}" if repeats > 1 else pin_tag
         runs_n.append(run_bench(n, expansion, sf_dir, pyfiles, suffix))
         runs_4n.append(run_bench(four_n, expansion, sf_dir, pyfiles, suffix))
     eff = write_report(runs_n, runs_4n, n, four_n, expansion)

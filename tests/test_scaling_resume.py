@@ -26,10 +26,30 @@ def test_resume_returns_persisted_leg(tmp_path, monkeypatch):
     }
     (tmp_path / "BENCH" / "leg_c2_x10_r1.json").write_text(json.dumps(leg))
     monkeypatch.setenv("SPARK_GRAFT_SCALE_RESUME", "1")
+    # legs written before the CPU-pinning stamp existed count as unpinned
+    monkeypatch.setenv("SPARK_GRAFT_PIN_CPUS", "0")
     # bench.py does not exist under tmp_path: any subprocess attempt
     # would raise, so a returned dict proves the persisted leg was used.
     out = scaling_run.run_bench(2, 10, "/nonexistent", None, suffix="_r1")
     assert out == leg
+
+
+def test_no_resume_across_pinning_modes(tmp_path, monkeypatch):
+    """A leg measured without CPU pinning is not evidence for the pinned
+    protocol (and vice versa) — the two measure different machines."""
+    monkeypatch.setattr(scaling_run, "REPO", str(tmp_path))
+    monkeypatch.setattr(scaling_run, "_git_sha", lambda: "abc123")
+    (tmp_path / "BENCH").mkdir()
+    leg = {
+        "docs_per_sec": 123.0,
+        "_meta": {"git_sha": "abc123", "sf_dir": "/nonexistent",
+                  "pinned": False},
+    }
+    (tmp_path / "BENCH" / "leg_c2_x10_r1.json").write_text(json.dumps(leg))
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_RESUME", "1")
+    monkeypatch.setenv("SPARK_GRAFT_PIN_CPUS", "1")
+    with pytest.raises(Exception):
+        scaling_run.run_bench(2, 10, "/nonexistent", None, suffix="_r1")
 
 
 def test_no_resume_when_code_or_input_changed(tmp_path, monkeypatch):
