@@ -1291,6 +1291,9 @@ def q_extraction_errors(spark, sf_dir):
     * doc_id % 50 == 2 — a lone 0xFF byte injected after the opening
       wrapper -> warned (replaced_chars), text kept with one leading
       U+FFFD substitution visible
+    * doc_id % 50 == 3 — a 5000-char minified-blob line injected after
+      the opening wrapper -> warned (overlong_line), text kept verbatim
+      (no clamping: the per-row invariant forbids lossy normalization)
     * everything else — clean; text reproduced byte-identically (the
       per-row invariant)."""
     from image_dedup_spark.operators import extraction as EXTR
@@ -1309,6 +1312,14 @@ def q_extraction_errors(spark, sf_dir):
                 F.substring(s, F.lit(13), F.length(s)).cast("binary"),
             ),
         )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("<html><body>").cast("binary"),
+                F.concat(F.repeat(F.lit("x"), 5000), F.lit("\n")).cast("binary"),
+                F.substring(s, F.lit(13), F.length(s)).cast("binary"),
+            ),
+        )
         .otherwise(F.col("html"))
     )
     pages = pages.select("doc_id", corrupted.alias("html"))
@@ -1319,10 +1330,12 @@ SQL_EXTRACTION_ERRORS = """
 SELECT doc_id,
        CASE WHEN doc_id % 50 = 0 THEN NULL
             WHEN doc_id % 50 = 2 THEN chr(65533) || text
+            WHEN doc_id % 50 = 3 THEN repeat('x', 5000) || chr(10) || text
             ELSE text END AS text,
        CASE WHEN doc_id % 50 = 0 THEN 'missing_wrapper' END AS error,
        CASE WHEN doc_id % 50 = 1 THEN 'bom_stripped'
-            WHEN doc_id % 50 = 2 THEN 'replaced_chars' END AS warning
+            WHEN doc_id % 50 = 2 THEN 'replaced_chars'
+            WHEN doc_id % 50 = 3 THEN 'overlong_line' END AS warning
 FROM documents
 """
 

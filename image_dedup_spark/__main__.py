@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import pyspark.sql.functions as F
@@ -128,6 +129,15 @@ def cmd_dedup_near(spark, a):
     _write(clusters, a.output)
 
 
+def _dataset_tag(path: str) -> str:
+    """Normalized dataset tag from an input path: absolute, symlinks and
+    ``.``/``..`` segments resolved, trailing separators stripped — so the
+    SAME corpus given via different path spellings (relative vs absolute,
+    trailing slash, ``./``) re-keys to the SAME doc_ids across runs, and
+    downstream joins on doc_id stay stable."""
+    return os.path.realpath(path).rstrip(os.sep) or os.sep
+
+
 def _namespaced(df, tag: str):
     """Collision-proof doc_ids for multi-dataset folds. The reference
     keys rows by path string — globally unique by construction
@@ -135,12 +145,16 @@ def _namespaced(df, tag: str):
     corpora can collide on doc_id, which would silently conflate rows in
     the folded table and any downstream clustering. Re-key as
     xxhash64(dataset_tag, doc_id), keeping the original id
-    (``src_doc_id``) and the tag (``dataset``) as columns. Tables that
-    already carry a ``dataset`` column (output of a previous merge) pass
-    through untouched, so chained folds keep stable ids."""
-    if "dataset" in df.columns:
+    (``src_doc_id``) and the tag (``dataset``) as columns. Tables
+    carrying BOTH marker columns (``dataset`` + ``src_doc_id`` — the
+    output schema of a previous merge) pass through untouched, so
+    chained folds keep stable ids; a table with only one of them is
+    treated as not-yet-namespaced (a user column merely NAMED dataset
+    must not skip re-keying, or a schema mismatch would conflate rows
+    downstream)."""
+    if "dataset" in df.columns and "src_doc_id" in df.columns:
         return df
-    rest = [c for c in df.columns if c != "doc_id"]
+    rest = [c for c in df.columns if c not in ("doc_id", "dataset", "src_doc_id")]
     return df.select(
         F.xxhash64(F.lit(tag), F.col("doc_id")).alias("doc_id"),
         F.col("doc_id").alias("src_doc_id"),
@@ -155,9 +169,9 @@ def cmd_merge(spark, a):
     same way (/root/reference/image_deduper.cpp:143-157). Every input is
     namespaced first (:func:`_namespaced`), so overlapping doc_id ranges
     across independently-fingerprinted corpora never conflate."""
-    acc = _namespaced(_read(spark, a.acc), a.acc)
+    acc = _namespaced(_read(spark, a.acc), _dataset_tag(a.acc))
     for path in a.incoming:
-        inc = _namespaced(_read(spark, path), path)
+        inc = _namespaced(_read(spark, path), _dataset_tag(path))
         acc = XC.near_merge(acc, acc, inc, inc, DEFAULT)
     _write(acc, a.output)
 

@@ -42,13 +42,18 @@ class CacheScope:
 
     def release(self) -> None:
         for df in self._owned:
-            try:
-                # blocking: the lifecycle test asserts storage is empty
-                # right after release, and callers release at stage
-                # boundaries where a synchronous free is what they mean.
-                df.unpersist(blocking=True)
-            except Exception:
-                pass  # session already stopped — nothing left to leak
+            # A stopped session cannot be leaking cache memory — skip it
+            # explicitly instead of swallowing exceptions, so a GENUINE
+            # unpersist failure (the exact leak class this abstraction
+            # exists to prevent) propagates to the caller rather than
+            # silently leaving the InMemoryRelation pinned.
+            sc = df.sparkSession.sparkContext
+            if getattr(sc, "_jsc", None) is None or sc._jsc.sc().isStopped():
+                continue
+            # blocking: the lifecycle test asserts storage is empty
+            # right after release, and callers release at stage
+            # boundaries where a synchronous free is what they mean.
+            df.unpersist(blocking=True)
         self._owned.clear()
 
     def __enter__(self) -> "CacheScope":

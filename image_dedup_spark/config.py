@@ -66,15 +66,16 @@ class DedupConfig:
 
     # --- connected components --------------------------------------------
     cc_max_iterations: int = 50
-    # checkpoint + convergence-probe cadence. Since round 3 the probe
-    # aggregation rides the SAME job that materializes the round's lazy
-    # localCheckpoint (components._truncate_lineage lazy_ok), so a probe
-    # costs one extra agg over data being computed anyway (~0.3s) while
-    # every round it skips costs a full propagation (~2-4s at 200k docs).
-    # Probing every round therefore detects the fixpoint cheapest; the
-    # batched cadence (2+) only made sense when each probe was its own
-    # driver-barrier job (rounds 1-2).
-    cc_checkpoint_every: int = 1
+    # Frontier threshold: once a round changes <= this many labels, the
+    # next round propagates ONLY from the changed vertices (a broadcast
+    # hash-join filter over the pinned edge table — no edge shuffle)
+    # instead of re-shuffling the full symmetrized edge table to re-offer
+    # labels that cannot have changed. Dup graphs converge to a tiny
+    # frontier after one full round (131 changed labels out of 1M docs on
+    # the bench corpus), so the late rounds collapse from full shuffles
+    # to map-side passes. Bounded: the frontier is driver-broadcast, so
+    # the cap also bounds broadcast memory (~16B/row).
+    cc_frontier_max: int = 100_000
     # greedy (reference-compat) survivor mode: components with more
     # edges than this skip the single-task pandas greedy pass and fall
     # back to keep-first (min doc_id) — bounds per-task memory against

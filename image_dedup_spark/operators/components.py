@@ -11,14 +11,15 @@ component, the representative (survivor) is that min doc — mirroring
 keep-first. A reference-compatible greedy survivor mode with
 deterministic tie-breaks is provided for parity checks.
 
-Scale notes: each iteration is one shuffle join and pointer-jumping
-makes the round count O(log n); lineage is truncated and convergence
-probed only every ``cfg.cc_checkpoint_every`` rounds (each probe is a
-driver action — the measured scaling drag of round 1 — so batching
-probes trades <= probe_every-1 extra cheap rounds for far fewer
-barriers). Convergence = the label sum (as decimal(38,0), immune to
-64-bit wraparound on hash-derived ids) reaching its fixpoint; no
-driver-side graph materialization ever happens. When the SparkContext
+Scale notes: a FULL iteration is one shuffle join and pointer-jumping
+makes the round count O(log n); once a round changes fewer than
+``cfg.cc_frontier_max`` labels the loop switches to FRONTIER rounds
+that broadcast only the changed vertices into the pinned edge table —
+no edge shuffle at all (see :func:`connected_components`). Lineage is
+truncated every round and the convergence probe (count of changed
+labels, computed inside the round's own aggregation) rides the same
+job. No driver-side graph materialization ever happens beyond the
+bounded frontier broadcast. When the SparkContext
 has a checkpoint dir set (``sc.setCheckpointDir``), reliable
 ``checkpoint()`` is used instead of ``localCheckpoint`` — on a real
 cluster localCheckpoint blocks are lost with an executor.
@@ -34,10 +35,46 @@ from pyspark.sql import functions as F
 
 from image_dedup_spark.config import DEFAULT, DedupConfig
 
+# Frontier rounds move labels one edge-hop (plus a changed-rows-only
+# pointer jump) per round — O(diameter) on chain-shaped graphs, where
+# real dup graphs (stars + cliques) finish in 1-2. Bound the worst case:
+# after this many consecutive frontier rounds a FULL round (global
+# pointer jump, O(log n) doubling) is forced, so pathological chains
+# converge in O(log n) full rounds interleaved with cheap frontier
+# rounds instead of O(diameter) frontier rounds.
+_FRONTIER_STREAK_MAX = 3
+
+
+def _reset_stats(df: DataFrame) -> DataFrame:
+    """Rebuild `df` over its SAME internal RDD but with fresh (default)
+    statistics — zero-copy, no job.
+
+    Dataset.checkpoint/localCheckpoint preserve the origin plan's
+    sizeInBytes estimate in the truncated LogicalRDD. In an iterative
+    loop whose round plan joins the previous checkpoint several times,
+    those estimates COMPOUND multiplicatively round over round (join
+    stats are the product of child sizes), so the BigInt grows ~5x in
+    BIT LENGTH per round: by round 7 Catalyst's stats visitor
+    (join-size checks, runtime-filter injection) was multiplying
+    multi-million-bit integers and a 200-vertex toy graph hung for
+    minutes inside BigInteger.multiplyToomCook3 (measured, round-4
+    debug). The default Long.MaxValue stat is constant-size and
+    decision-equivalent here: the compounded products were garbage
+    upper bounds no broadcast threshold could pass anyway, and every
+    small-side broadcast in the loop is either explicit
+    (``F.broadcast``) or made by AQE from RUNTIME shuffle sizes."""
+    spark = df.sparkSession
+    jdf = df._jdf
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, spark)
+
 
 def _truncate_lineage(df: DataFrame, lazy_ok: bool = False) -> DataFrame:
     """Reliable checkpoint when the context has a checkpoint dir (fault
-    tolerant on a cluster), localCheckpoint otherwise (local mode).
+    tolerant on a cluster), localCheckpoint otherwise (local mode) —
+    followed by a stats reset (see :func:`_reset_stats`).
 
     ``lazy_ok``: local-mode callers that immediately run an aggregation
     over the result pass True — the lazy localCheckpoint then
@@ -48,8 +85,8 @@ def _truncate_lineage(df: DataFrame, lazy_ok: bool = False) -> DataFrame:
     after the first action, so laziness would double-compute there."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=not lazy_ok)
+        return _reset_stats(df.checkpoint(eager=True))
+    return _reset_stats(df.localCheckpoint(eager=not lazy_ok))
 
 
 def connected_components(
@@ -71,10 +108,27 @@ def connected_components(
     distinct pairs each, so overlap is the rare doc caught by two
     families.
 
+    Round structure (the round-4 change): every round carries a
+    ``changed`` flag computed inside the round's own aggregation
+    (executor-side change detection — no cross-round sum diffing), and
+    once a round changes <= ``cfg.cc_frontier_max`` labels the loop
+    switches to FRONTIER rounds: labels can only improve via an edge
+    incident to a vertex whose label changed last round (an unchanged
+    neighbor's label was already folded in whenever it last changed —
+    labels are monotone non-increasing), so a frontier round joins the
+    pinned edge table against a BROADCAST of just the changed vertices
+    instead of re-shuffling all edges. Convergence = changed == 0,
+    which is exact: every edge's endpoints are re-tested whenever
+    either end changes, so an all-quiet round means every edge has
+    equal labels at both ends — uniform per component. Real dup graphs
+    (stars + small cliques after the warm start) hit the frontier
+    regime after one full round, turning the old confirming shuffle
+    round into a map-side pass.
+
     ``metrics_out``: optional list that receives one dict per probe
-    barrier {"iteration", "seconds", "label_sum", "converged"} — the
-    bench uses it to separate real propagation work from barrier
-    latency when comparing runs."""
+    barrier {"iteration", "seconds", "label_sum", "changed",
+    "converged", "mode"} — the bench uses it to separate real
+    propagation work from barrier latency when comparing runs."""
     # Pin the symmetrized edge table: every probe is its own Spark job,
     # and an unpinned `e` would replay the union shuffle each round
     # (shuffle reuse does not cross job boundaries). Lazy in local mode:
@@ -90,90 +144,152 @@ def connected_components(
     # would produce, folded into the same shuffle the old doc_id-distinct
     # init already paid. Dup-pair graphs are shallow (exact-dup stars,
     # small near-dup clumps), so most vertices are already converged
-    # after this and the loop typically needs only 1-2 confirming rounds.
+    # after this; `changed` vs the implicit self-label init feeds the
+    # frontier switch (stars/cliques go straight to one cheap frontier
+    # round that confirms quiescence).
     labels = _truncate_lineage(
         e.groupBy(F.col("a").alias("doc_id"))
         .agg(F.min("b").alias("min_nbr"))
         .select(
             "doc_id",
             F.least(F.col("doc_id"), F.col("min_nbr")).alias("cluster_id"),
+            (F.col("min_nbr") < F.col("doc_id")).alias("changed"),
         ),
         lazy_ok=True,
     )
-    probe_every = max(1, cfg.cc_checkpoint_every)
 
-    def probe(lab: DataFrame, it: int):
+    def probe(lab: DataFrame, it: int, mode: str) -> tuple[int, int]:
         """One job: materializes any pending lazy checkpoints in lab's
-        plan AND computes the convergence sum (decimal(38,0) — immune to
-        64-bit wraparound on hash-derived ids)."""
+        plan AND counts the round's changed labels (the convergence
+        test) plus total vertices (the frontier-fraction gate). The
+        label sum (decimal(38,0), immune to 64-bit wrap on hash-derived
+        ids) is kept in the metrics as a cross-run fingerprint of the
+        labelling itself."""
         t0 = time.monotonic()
-        s = lab.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+        row = lab.agg(
+            F.sum(F.col("changed").cast("long")),
+            F.count(F.lit(1)),
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")),
+        ).first()
+        n_changed = int(row[0] or 0)
         if metrics_out is not None:
             metrics_out.append(
                 {
                     "iteration": it,
                     "seconds": round(time.monotonic() - t0, 3),
-                    "label_sum": str(s),
+                    "label_sum": str(row[2]),
+                    "changed": n_changed,
+                    "converged": n_changed == 0,
+                    "mode": mode,
                 }
             )
-        return s
+        return n_changed, int(row[1] or 0)
 
-    # Seed the convergence probe with the warm-start label sum. Combined
-    # with probing after round 1, a graph the warm start fully converged
-    # (stars and cliques — the shape of real dup graphs) exits after a
-    # single confirming round instead of running probe_every rounds.
-    # Deeper graphs fall back to the batched probe cadence.
-    prev_sum = probe(labels, -1)
+    n_changed, n_vertices = probe(labels, -1, "warm")
+    streak = 0
     for it in range(cfg.cc_max_iterations):
-        nbr = (
-            e.join(labels, e.b == labels.doc_id)
-            .select(F.col("a").alias("doc_id"), "cluster_id")
+        if n_changed == 0:
+            break
+        base = labels.select("doc_id", "cluster_id")
+        # Frontier rounds pay off when the changed set is BOTH
+        # broadcast-safe (<= cc_frontier_max rows) and a small fraction
+        # of the graph (<= 1% of vertices): a mid-convergence graph with
+        # a fat frontier propagates faster through a full round's global
+        # pointer jump than through one-hop frontier offers.
+        frontier_ok = (
+            n_changed <= cfg.cc_frontier_max
+            and n_changed * 100 <= n_vertices
         )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        # pointer-jumping shortcut: label := label(label). A neighbor hop
-        # alone moves the frontier one edge per round (O(diameter) on
-        # chains); composing it with this doubling step converges in
-        # O(log n) rounds — the large-star/small-star idea.
-        parents = new_labels.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        new_labels = (
-            new_labels.join(
-                parents, new_labels.cluster_id == parents.p_id, "left"
+        if frontier_ok and streak < _FRONTIER_STREAK_MAX:
+            # ---- frontier round: no edge shuffle --------------------
+            # Offers come only from last round's changed vertices; the
+            # frontier is bounded by cc_frontier_max, so broadcasting it
+            # into the pinned edge table is a map-side filter. The tiny
+            # offer table is materialized eagerly so the (up to three)
+            # label-scan consumers below never replay the edge scan.
+            fr = labels.filter("changed").select(
+                F.col("doc_id").alias("b"), F.col("cluster_id").alias("offer")
             )
-            .select(
+            offers = (
+                e.join(F.broadcast(fr), "b")
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.min("offer").alias("offer"))
+            )
+            offers = _truncate_lineage(offers)
+            merged = base.join(offers, "doc_id", "left").select(
+                "doc_id",
+                F.col("cluster_id").alias("old"),
+                F.least("cluster_id", "offer").alias("cluster_id"),
+            )
+            # pointer-jump ONLY the rows that just changed (label :=
+            # label(label)); unchanged rows whose label's label improved
+            # are reached through later frontier offers instead — any
+            # subset of jumps preserves correctness, jumps only
+            # accelerate (O(log n) on chains).
+            ch = merged.filter(F.col("cluster_id") < F.col("old")).select(
+                "doc_id", "cluster_id"
+            )
+            lk = merged.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+            )
+            jumped = ch.join(lk, ch.cluster_id == lk.p_id, "left").select(
+                F.col("doc_id").alias("j_id"),
+                F.coalesce("p_label", "cluster_id").alias("j_label"),
+            )
+            labels = merged.join(
+                jumped, merged.doc_id == jumped.j_id, "left"
+            ).select(
+                "doc_id",
+                F.coalesce("j_label", "cluster_id").alias("cluster_id"),
+                (F.coalesce("j_label", "cluster_id") < F.col("old")).alias(
+                    "changed"
+                ),
+            )
+            mode = "frontier"
+            streak += 1
+        else:
+            # ---- full round: offer every neighbor label --------------
+            nbr = e.join(base, e.b == base.doc_id).select(
+                F.col("a").alias("doc_id"),
+                "cluster_id",
+                F.lit(False).alias("is_self"),
+            )
+            m = (
+                base.withColumn("is_self", F.lit(True))
+                .unionByName(nbr)
+                .groupBy("doc_id")
+                .agg(
+                    F.min("cluster_id").alias("cluster_id"),
+                    # exactly one self row per doc: its label is the
+                    # round's starting label, so `changed` needs no
+                    # second join against the previous label table.
+                    F.min(
+                        F.when(F.col("is_self"), F.col("cluster_id"))
+                    ).alias("old"),
+                )
+            )
+            # pointer-jumping shortcut: label := label(label). A neighbor
+            # hop alone moves the frontier one edge per round (O(diameter)
+            # on chains); composing it with this doubling step converges
+            # in O(log n) rounds — the large-star/small-star idea.
+            parents = m.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+            )
+            labels = m.join(parents, m.cluster_id == parents.p_id, "left").select(
                 "doc_id",
                 F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+                (F.coalesce("p_label", "cluster_id") < F.col("old")).alias(
+                    "changed"
+                ),
             )
-        )
-        labels = new_labels
-        # Checkpoint + convergence probe only every probe_every rounds:
-        # each probe is a full driver barrier (the round-1 bench's worst
-        # scaling stage), while an extra converged round is one cheap
-        # no-change join. Min-propagation never increases a label, so the
-        # label sum is non-increasing until the fixpoint; summing as
-        # decimal(38,0) keeps the equality test exact even for 64-bit
-        # hash-derived ids that would wrap a BIGINT sum.
-        if (
-            it == 0
-            or (it + 1) % probe_every == 0
-            or it == cfg.cc_max_iterations - 1
-        ):
-            # Lazy checkpoint + probe = ONE job per barrier: the probe's
-            # aggregation computes the round's labels, persisting them as
-            # the checkpoint blocks the next round reads.
-            labels = _truncate_lineage(labels, lazy_ok=True)
-            label_sum = probe(labels, it)
-            if metrics_out is not None:
-                metrics_out[-1]["converged"] = label_sum == prev_sum
-            if prev_sum is not None and label_sum == prev_sum:
-                break
-            prev_sum = label_sum
-    return labels
+            mode = "full"
+            streak = 0
+        # Lazy checkpoint + probe = ONE job per barrier: the probe's
+        # aggregation computes the round's labels, persisting them as
+        # the checkpoint blocks the next round reads.
+        labels = _truncate_lineage(labels, lazy_ok=True)
+        n_changed, n_vertices = probe(labels, it, mode)
+    return labels.select("doc_id", "cluster_id")
 
 
 def assign_clusters(

@@ -29,6 +29,16 @@ Warning taxonomy (decoded, kept, flagged):
                    recovery yields a well-formed document (U+FFFD
                    substitutions present in the kept text)
   bom_stripped     payload opened with a UTF-8 BOM that was stripped
+  overlong_line    a single line exceeds ``_MAX_LINE_CHARS`` — the
+                   real-crawl signature of minified JS / base64 blobs /
+                   binary-ish content shipped as text; kept verbatim
+                   (no clamping — a lossy normalization would break the
+                   byte-identical per-row invariant) but flagged so a
+                   quality pass can route it
+
+Exactly one warning code per row; precedence when several conditions
+hold: replaced_chars > bom_stripped > overlong_line (most severe
+recovery wins; the code is a single deterministic label).
 """
 
 from __future__ import annotations
@@ -51,6 +61,9 @@ EXTRACT_SCHEMA = T.StructType(
 _PREFIX = "<html><body>"
 _SUFFIX = "</body></html>"
 _BOM = b"\xef\xbb\xbf"
+# Longest line a plausible prose document produces; beyond it the row is
+# almost always minified markup/JS, base64, or binary-ish content.
+_MAX_LINE_CHARS = 4096
 
 
 def extract_one(
@@ -78,7 +91,13 @@ def extract_one(
         return None, "invalid_utf8", None
     if not (s.startswith(_PREFIX) and s.endswith(_SUFFIX)):
         return None, "missing_wrapper", None
-    return s[len(_PREFIX): len(s) - len(_SUFFIX)], None, warning
+    text = s[len(_PREFIX): len(s) - len(_SUFFIX)]
+    if warning is None and len(text) > _MAX_LINE_CHARS:
+        # cheap gate first: only documents long enough to POSSIBLY hold
+        # an overlong line pay the per-line scan
+        if max(map(len, text.split("\n"))) > _MAX_LINE_CHARS:
+            warning = "overlong_line"
+    return text, None, warning
 
 
 def make_extract_udf():

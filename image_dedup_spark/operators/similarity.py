@@ -117,8 +117,12 @@ def lsh_topk(
 
     ``bucket_cap`` bounds the intra-bucket join: buckets holding more
     than bucket_cap vectors (degenerate directions — near-duplicate
-    embedding farms, zero-ish vectors) are EXCLUDED from that table's
-    join, in both the index and probe sides. Unlike the pair-dedup star
+    embedding farms, zero-ish vectors) are EXCLUDED from the INDEX side
+    of that table's join. The probe side is left unfiltered — filtering
+    it would change nothing (probe keys into an excluded bucket join to
+    zero index rows, so output and join cost are identical) and would
+    cost a second bucket-size join against the probe's n_planes+1
+    multiprobe keys. Unlike the pair-dedup star
     fallback there is no semantics-preserving shortcut for top-k, so the
     honest policy is drop-with-accounting (`lsh_bucket_stats`); the
     same vectors are still reachable through the other n_tables-1

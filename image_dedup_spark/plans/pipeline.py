@@ -50,29 +50,51 @@ from image_dedup_spark.sources import io as IO
 # rather than silently mix old-flow stage outputs with recomputed ones
 # (stage names were renumbered and the minhash dtype changed long->int32
 # between layouts 1 and 2; 02_exact_pairs/02_exact_survivors collapsed
-# into one 02_exact_labels pass between 2 and 3).
-PIPELINE_FORMAT = "3"
+# into one 02_exact_labels pass between 2 and 3; the marker grew the
+# run-mode parameters between 3 and 4).
+PIPELINE_FORMAT = "4"
 
 
-def _check_format_marker(checkpoint_dir: str | None) -> None:
+def _format_marker_value(
+    include_substring: bool, verify_mode: str, sequential: bool
+) -> str:
+    """Layout version PLUS the run-mode parameters. The sequential and
+    union modes share downstream stage names (07_all_pairs, 08_clusters,
+    09_survivors) — and substring/verify change stage contents — so a
+    resume against a checkpoint dir written under ANY different mode
+    must refuse rather than silently serve the other mode's final
+    stages."""
+    return (
+        f"{PIPELINE_FORMAT};sequential={int(sequential)}"
+        f";substring={int(include_substring)};verify={verify_mode}"
+    )
+
+
+def _check_format_marker(
+    checkpoint_dir: str | None,
+    include_substring: bool,
+    verify_mode: str,
+    sequential: bool,
+) -> None:
     if not checkpoint_dir:
         return
     import os
 
+    expect = _format_marker_value(include_substring, verify_mode, sequential)
     marker = os.path.join(checkpoint_dir, "_PIPELINE_FORMAT")
     if os.path.exists(marker):
         found = open(marker).read().strip()
-        if found != PIPELINE_FORMAT:
+        if found != expect:
             raise RuntimeError(
                 f"checkpoint dir {checkpoint_dir} was written by pipeline "
-                f"format {found!r}, current is {PIPELINE_FORMAT!r}; wipe the "
+                f"format/mode {found!r}, current is {expect!r}; wipe the "
                 "directory (or point at a fresh one) instead of resuming "
-                "across incompatible stage layouts"
+                "across incompatible stage layouts or run modes"
             )
     else:
         os.makedirs(checkpoint_dir, exist_ok=True)
         with open(marker, "w") as fh:
-            fh.write(PIPELINE_FORMAT)
+            fh.write(expect)
 
 
 @dataclass
@@ -126,7 +148,9 @@ def run_pipeline(
     tests/test_pipeline.py. Union-of-edges ships as the default
     because one clustering over all evidence is order-independent and
     never splits what any family joins."""
-    _check_format_marker(checkpoint_dir)
+    _check_format_marker(
+        checkpoint_dir, include_substring, verify_mode, sequential
+    )
     metrics: list[dict] = []
 
     def stage(name: str, build) -> DataFrame:
@@ -205,9 +229,10 @@ def run_pipeline(
     )
     if sequential:
         # Reference-parity: cluster the exact+minhash evidence first,
-        # then run the SimHash family only on that stage's survivors
-        # (distinct stage names — a checkpoint dir is never ambiguous
-        # between modes; 04_minhash_pairs is mode-independent and reused).
+        # then run the SimHash family only on that stage's survivors.
+        # (Cross-mode resume is refused outright by the format marker,
+        # which records the run mode — stages 07-09 share names across
+        # modes, so name disambiguation alone would not be safe.)
         stage_a_clusters = stage(
             "05_stage_a_clusters",
             lambda: CC.assign_clusters(

@@ -17,14 +17,26 @@ BASELINE = os.path.join(REPO, "BENCH", "BASELINE.md")
 MARKER = "## Secondary evidence: 4 → 16 cores"
 
 
-def _leg(cores: int, rep: str) -> dict | None:
-    p = os.path.join(REPO, "BENCH", f"leg_c{cores}_x1000{rep}.json")
-    return json.load(open(p)) if os.path.exists(p) else None
+def _legs(
+    cores: int, expansion: int = 1000, pinned: bool | None = None
+) -> list[dict]:
+    """Every persisted leg for (cores, expansion), in filename order —
+    including the ``_pin`` variants scaling_run writes under the pinned
+    protocol. ``pinned`` filters by the leg's own ``_meta.pinned`` stamp
+    (None = both protocols); callers MUST partition by protocol before
+    comparing legs — a pinned leg and an unpinned leg measure different
+    machines (taskset confines the whole process tree to exactly
+    ``cores`` CPUs; unpinned JVM/Arrow overhead threads soak extras)."""
+    import glob
 
-
-def _legs(cores: int, max_reps: int = 8) -> list[dict]:
-    out = [_leg(cores, "")] + [_leg(cores, f"_r{i}") for i in range(max_reps)]
-    return [r for r in out if r]
+    out = []
+    pattern = os.path.join(REPO, "BENCH", f"leg_c{cores}_x{expansion}*.json")
+    for p in sorted(glob.glob(pattern)):
+        r = json.load(open(p))
+        leg_pinned = bool(r.get("_meta", {}).get("pinned", False))
+        if pinned is None or leg_pinned == pinned:
+            out.append(r)
+    return out
 
 
 def _med(runs: list[dict]) -> dict:
@@ -40,24 +52,31 @@ def secondary_sections() -> str:
     """Markdown for the secondary-evidence sections, every number derived
     from the leg files on disk; empty string when the 4/16-core legs
     don't exist."""
-    c4, c16 = _legs(4), _legs(16)
+    # The 4/16-core secondary evidence exists only under the UNPINNED
+    # protocol (round-2 legs); never mix it with pinned legs.
+    c4, c16 = _legs(4, pinned=False), _legs(16, pinned=False)
     if not c4 or not c16:
         return ""
     m4, m16 = _med(c4), _med(c16)
     eff_4_16 = m16["docs_per_sec"] / (4 * m4["docs_per_sec"])
     timeline = {}
     for cores in (2, 4, 8, 16):
-        legs = _legs(cores)
-        if len(legs) >= 2:
-            timeline[cores] = [r["docs_per_sec"] for r in legs]
+        for pinned in (False, True):
+            legs = _legs(cores, pinned=pinned)
+            if len(legs) >= 2:
+                key = f"{cores}-core {'pinned' if pinned else 'unpinned'}"
+                timeline[(cores, pinned)] = (
+                    key,
+                    [r["docs_per_sec"] for r in legs],
+                )
     timeline_rows = "\n".join(
-        f"- {cores}-core legs, in run order: "
+        f"- {key} legs, in run order: "
         + " → ".join(f"{t:.0f}" for t in tps)
         + " docs/s"
-        for cores, tps in sorted(timeline.items())
+        for _, (key, tps) in sorted(timeline.items())
     )
     return f"""
-{MARKER} (same input, same protocol, medians over {len(c4)}/{len(c16)} legs)
+{MARKER} (same input, UNPINNED round-2 protocol, medians over {len(c4)}/{len(c16)} legs)
 
 | level | cores | pipeline sec | docs/sec | code stamp |
 |---|---|---|---|---|
@@ -101,7 +120,8 @@ paired 4N leg — and the three estimators bracket the true value.
 | r1 (final) | 4→16c, single run | 0.591 | 8268 @16c |
 | r2 mid | 4→16c, median of 3 | 0.706 | 11968 @16c |
 | r2 final | 2→8c, 5 interleaved repeats | 0.768 | 12527 @8c |
-| r3 | 2→8c, interleaved, fused pair job | (headline above) | (headline above) |
+| r3 | 2→8c, interleaved, fused pair job, unpinned | 0.768 carried | 7136 @8c |
+| r4 | 2→8c, interleaved, fused, taskset-PINNED | (headline above) | (headline above) |
 """
 
 

@@ -103,3 +103,40 @@ def test_greedy_survivors_mega_component_fallback(spark):
     assert all(out[i] for i in range(1, 11))    # rest removed
     # small component went through greedy: exactly one of the pair removed
     assert out[100] != out[101]
+
+
+def test_frontier_rounds_used_and_correct(spark):
+    """A graph big enough to pass the frontier gate (changed <= 1% of
+    vertices, <= cc_frontier_max): 30k isolated doc pairs converge at
+    the warm start, plus one 12-node chain whose propagation happens in
+    cheap frontier rounds (broadcast of the changed vertices — no edge
+    shuffle). Labels must match the keep-first rule and the probe
+    metrics must show the frontier mode actually engaged."""
+    import pyspark.sql.functions as F
+
+    pairs = (
+        spark.range(30000)
+        .select(
+            (F.col("id") * 2 + 100000).alias("src_id"),
+            (F.col("id") * 2 + 100001).alias("dst_id"),
+        )
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src_id long, dst_id long"
+    )
+    probes = []
+    out = CC.connected_components(
+        pairs.unionByName(chain), metrics_out=probes
+    )
+    modes = [p["mode"] for p in probes]
+    assert "frontier" in modes, modes
+    # chain collapses to one cluster labeled 0; every pair keeps its min
+    got = {r.doc_id: r.cluster_id for r in out.filter("doc_id <= 12").collect()}
+    assert got == {i: 0 for i in range(13)}
+    assert (
+        out.filter("doc_id >= 100000")
+        .filter("cluster_id % 2 != 0")
+        .count()
+        == 0
+    )
+    assert probes[-1]["changed"] == 0 and probes[-1]["converged"]

@@ -20,6 +20,13 @@ def test_extraction_error_taxonomy(spark):
         (7, b"\xff\xfe not html at all"),
         # BOM: stripped, decoded, flagged
         (8, b"\xef\xbb\xbf" + "<html><body>bom doc</body></html>".encode()),
+        # overlong line (minified-blob signature): kept verbatim, flagged
+        (9, ("<html><body>" + "x" * 5000 + "\nok</body></html>").encode()),
+        # long doc of SHORT lines: clean (the per-line scan, not raw
+        # length, decides)
+        (10, ("<html><body>" + ("y" * 80 + "\n") * 100 + "</body></html>").encode()),
+        # precedence: replaced_chars wins over overlong_line
+        (11, b"<html><body>\x80" + b"z" * 5000 + b"</body></html>"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html binary")
     out = {
@@ -34,6 +41,9 @@ def test_extraction_error_taxonomy(spark):
     assert out[6] == ("", None, None)
     assert out[7] == (None, "invalid_utf8", None)
     assert out[8] == ("bom doc", None, "bom_stripped")
+    assert out[9] == ("x" * 5000 + "\nok", None, "overlong_line")
+    assert out[10] == (("y" * 80 + "\n") * 100, None, None)
+    assert out[11] == ("�" + "z" * 5000, None, "replaced_chars")
 
 
 def test_extraction_three_way_split(spark):

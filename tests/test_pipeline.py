@@ -119,3 +119,26 @@ def test_pipeline_refuses_mismatched_checkpoint_format(spark, corpus, tmp_path_f
         fh.write("0-legacy")
     with pytest.raises(RuntimeError, match="pipeline *format|format"):
         run_pipeline(spark, pages, checkpoint_dir=root)
+
+
+def test_pipeline_refuses_cross_mode_resume(spark, corpus, tmp_path_factory):
+    """Sequential and union modes share downstream stage names
+    (07_all_pairs, 08_clusters, 09_survivors): resuming a union-mode
+    checkpoint dir with --sequential (or any other mode flag flip) must
+    refuse, not silently serve the other mode's final stages."""
+    import pytest
+
+    from image_dedup_spark.plans.pipeline import run_pipeline
+
+    pages, _ = corpus
+    root = str(tmp_path_factory.mktemp("ckpt_mode"))
+    run_pipeline(spark, pages, checkpoint_dir=root)  # union mode
+    with pytest.raises(RuntimeError, match="mode"):
+        run_pipeline(spark, pages, checkpoint_dir=root, sequential=True)
+    with pytest.raises(RuntimeError, match="mode"):
+        run_pipeline(spark, pages, checkpoint_dir=root, verify_mode="estimate")
+    with pytest.raises(RuntimeError, match="mode"):
+        run_pipeline(spark, pages, checkpoint_dir=root, include_substring=True)
+    # same mode still resumes cleanly
+    r = run_pipeline(spark, pages, checkpoint_dir=root)
+    assert all(m["resumed"] for m in r.metrics)
