@@ -81,17 +81,22 @@ def main() -> None:
     # signature-estimate mode so the shingle sketch is never materialized.
     def _exact():
         # One md5+normalize pass: the slim label table feeds survivors
-        # here AND the exact pair edges consumed by the CC stage (which
-        # previously re-ran the full md5 pass inside the CC timing).
-        lab = EX.labels(docs.select("doc_id", "text")).localCheckpoint(
+        # AND the exact pair edges consumed by the CC stage. Survivors
+        # are NOT materialized here: they have exactly one consumer (the
+        # fingerprint job below), so the winners join stays lazy and
+        # fuses into that job — the round-3 shape eagerly checkpointed
+        # them, re-scanning and re-writing the full text corpus through
+        # the block store for nothing (measured at 1M docs pinned: the
+        # exact stage ran ~18s at BOTH 2 and 8 cores — a pure serial +
+        # DRAM-bandwidth floor, per-stage efficiency 0.24).
+        return EX.labels(docs.select("doc_id", "text")).localCheckpoint(
             eager=True
         )
-        surv = EX.survivors_from_labels(
-            docs.select("doc_id", "url", "text"), lab
-        ).localCheckpoint(eager=True)
-        return lab, surv
 
-    exact_labels, exact_surv = timed("q_exact_dedup", _exact)
+    exact_labels = timed("q_exact_dedup", _exact)
+    exact_surv = EX.survivors_from_labels(
+        docs.select("doc_id", "url", "text"), exact_labels
+    )
 
     fp_path = os.path.join(workdir, "fp")
     fp_udf = make_fingerprint_udf(DEFAULT, store_sketch=False)
