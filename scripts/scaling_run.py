@@ -122,7 +122,7 @@ def run_bench(
     if pinned:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, timeout=3600
+        cmd, env=env, capture_output=True, text=True, timeout=7200
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
