@@ -32,10 +32,14 @@ from scaling_run import run_bench
 def main() -> None:
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     expansion = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    # Repeat numbering starts here instead of 0 so an add-more-repeats
+    # invocation extends the persisted leg series (..._pin_r{K}.json)
+    # rather than overwriting already-committed legs in place.
+    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     pyfiles = build()
     out = []
-    for i in range(repeats):
+    for i in range(start, start + repeats):
         for cores in (1, 4):
             r = run_bench(cores, expansion, sf_dir, pyfiles, f"_pin_r{i}")
             out.append(
