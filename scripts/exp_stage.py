@@ -144,6 +144,28 @@ def main() -> None:
             LSH.verify_pairs(
                 cands, F.broadcast(fp), DEFAULT, mode="estimate"
             ).localCheckpoint(eager=True)
+        elif variant == "verify_i16":
+            # Halve the estimate-mode verify shuffle again: cast the
+            # stored int32 signature components to smallint BEFORE the
+            # candidate join (256B/row payload instead of 512B).
+            # Equality of truncated components is a superset of int32
+            # equality (collision prob 2^-16/component, expected score
+            # inflation ~1e-5) — this measures whether the byte saving
+            # moves the bandwidth-bound verify stage before deciding
+            # whether that bias is worth taking on.
+            cands_path = os.path.join(out, "cands")
+            if not os.path.exists(os.path.join(cands_path, "_SUCCESS")):
+                LSH.candidate_pairs(
+                    LSH.minhash_band_table(fp, DEFAULT), DEFAULT
+                ).write.mode("overwrite").parquet(cands_path)
+                t0 = time.monotonic()
+            cands = spark.read.parquet(cands_path)
+            fp16 = fp.withColumn(
+                "minhash", F.col("minhash").cast("array<smallint>")
+            )
+            LSH.verify_pairs(
+                cands, fp16, DEFAULT, mode="estimate"
+            ).localCheckpoint(eager=True)
         else:
             raise SystemExit(f"unknown minhash variant {variant}")
     elif stage == "simhash":
