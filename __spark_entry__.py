@@ -546,6 +546,59 @@ SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
 """
 
 
+def q_quotient_clusters(spark, sf_dir):
+    """D3 on the exact-dup QUOTIENT graph (components.
+    assign_clusters_via_labels, round 4): exact groups are contracted to
+    their keeper (min doc_id per md5-of-normalized-text), label
+    propagation runs only on near edges between keepers (here:
+    shared-32-char-prefix pairs, restricted to keepers — the engine's
+    invariant, since fingerprints are computed on exact survivors), and
+    every doc inherits its keeper's component through one join. Output
+    is identical to full-graph CC over exact stars ∪ near edges; the
+    contraction is what keeps the propagation state ∝ near-dup docs
+    instead of ∝ corpus at 10^12 rows."""
+    d = _docs(spark, sf_dir)
+    lab = EX.labels(d.select("doc_id", "text"))
+    keeper_prefix = (
+        d.join(
+            lab.filter(F.col("doc_id") == F.col("keeper")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", _prefix().alias("k"))
+    )
+    edges = (
+        keeper_prefix.select(F.col("doc_id").alias("src_id"), "k")
+        .join(keeper_prefix.select(F.col("doc_id").alias("dst_id"), "k"), "k")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id")
+    )
+    return CC.assign_clusters_via_labels(d.select("doc_id"), lab, edges)
+
+
+SQL_QUOTIENT_CLUSTERS = f"""
+WITH RECURSIVE lab AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS keeper
+  FROM documents),
+k AS (SELECT d.doc_id, {_PREFIX_SQL.replace('text', 'd.text')} AS pk
+      FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+      WHERE d.doc_id = lab.keeper),
+p AS (SELECT a.doc_id sa, b.doc_id sb FROM k a JOIN k b
+      ON a.pk = b.pk AND a.doc_id < b.doc_id),
+e AS (SELECT sa a, sb b FROM p UNION SELECT sb, sa FROM p),
+n AS (SELECT DISTINCT a FROM e),
+reach(s, t) AS (SELECT a, a FROM n
+                UNION
+                SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a),
+comp AS (SELECT s, min(t) AS m FROM reach GROUP BY s)
+SELECT lab.doc_id AS doc_id,
+       coalesce(comp.m, lab.keeper) AS cluster_id,
+       lab.doc_id = coalesce(comp.m, lab.keeper) AS is_representative
+FROM lab LEFT JOIN comp ON lab.keeper = comp.s
+"""
+
+
 def q_substring_window_pairs(spark, sf_dir):
     """Substring-dedup, SQL-checkable variant: doc pairs sharing a 24-char
     window sampled at stride 8."""
@@ -1387,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "doc_fingerprint": q_doc_fingerprint,
         "connected_components": q_connected_components,
+        "quotient_clusters": q_quotient_clusters,
         "substring_window_pairs": q_substring_window_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -1433,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": SQL_TOP_BIGRAMS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "connected_components": SQL_CONNECTED_COMPONENTS,
+        "quotient_clusters": SQL_QUOTIENT_CLUSTERS,
         "substring_window_pairs": SQL_SUBSTRING_WINDOWS,
         "embedding_cosine_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP,

@@ -177,13 +177,24 @@ def main() -> None:
         simhash_pairs = timed("q_simhash_pairs", _simhash)
         near_pairs = minhash_pairs.unionByName(simhash_pairs)
 
-    exact_pairs = EX.pairs_from_labels(exact_labels)
-    all_pairs = exact_pairs.unionByName(near_pairs)
+    # Quotient-graph CC (round 4): near pairs connect only exact-dup
+    # keepers (fingerprints were computed on survivors), so label
+    # propagation runs on the near graph alone and every doc inherits
+    # its keeper's component with one join against the slim label table
+    # — identical clusters (pytest equivalence gate), without the exact
+    # star edges ever entering a propagation round. The explicit
+    # exact_pairs union this replaces made the CC loop iterate over
+    # corpus-sized label tables (measured 1M docs pinned 8c: 22.7s loop,
+    # BENCH/ANALYSIS_r4.md §8).
     cc_probes: list = []
     clusters = timed(
         "q_connected_components",
-        lambda: CC.assign_clusters(
-            docs.select("doc_id"), all_pairs, DEFAULT, metrics_out=cc_probes
+        lambda: CC.assign_clusters_via_labels(
+            docs.select("doc_id"),
+            exact_labels,
+            near_pairs,
+            DEFAULT,
+            metrics_out=cc_probes,
         ).localCheckpoint(eager=True),
     )
     n_clusters = clusters.filter(F.col("is_representative")).count()

@@ -235,9 +235,15 @@ def run_pipeline(
         # modes, so name disambiguation alone would not be safe.)
         stage_a_clusters = stage(
             "05_stage_a_clusters",
-            lambda: CC.assign_clusters(
+            # Quotient-graph CC: minhash pairs connect only exact-dup
+            # keepers (fingerprints are computed on survivors), so the
+            # exact stars never enter a propagation round — identical
+            # output (components.assign_clusters_via_labels docstring +
+            # pytest equivalence gate).
+            lambda: CC.assign_clusters_via_labels(
                 filtered.select("doc_id", "url"),
-                exact_pairs.unionByName(minhash_pairs),
+                exact_labels,
+                minhash_pairs,
                 cfg,
             ),
         )
@@ -266,10 +272,19 @@ def run_pipeline(
 
     pairs = stage("07_all_pairs", lambda: reduce(DataFrame.unionByName, all_pairs))
 
+    # The pair sink above keeps the full union (exact + near families,
+    # the S5/D5 output); clustering itself runs on the exact-dup
+    # quotient graph — near/substring families connect only keepers, so
+    # the clusters are identical (assign_clusters_via_labels docstring)
+    # while label propagation never iterates over corpus-sized tables.
+    near_families = all_pairs[1:]
     clusters = stage(
         "08_clusters",
-        lambda: CC.assign_clusters(
-            filtered.select("doc_id", "url"), pairs, cfg
+        lambda: CC.assign_clusters_via_labels(
+            filtered.select("doc_id", "url"),
+            exact_labels,
+            reduce(DataFrame.unionByName, near_families),
+            cfg,
         ),
     )
     survivors = stage(

@@ -66,23 +66,53 @@ def main() -> None:
             )
 
     near_pairs = timed("prep_near_pairs", _near)
-    all_pairs = EX.pairs_from_labels(labels).unionByName(near_pairs)
+    variant = sys.argv[2] if len(sys.argv) > 2 else "quotient"
 
     # --- the CC stage, decomposed ----------------------------------------
     probes: list = []
     t0_stage = time.monotonic()
-    comp = CC.connected_components(all_pairs, DEFAULT, metrics_out=probes)
+    if variant == "full":
+        # pre-round-4 shape: exact star edges enter the propagation loop
+        all_pairs = EX.pairs_from_labels(labels).unionByName(near_pairs)
+        comp = CC.connected_components(all_pairs, DEFAULT, metrics_out=probes)
+    else:
+        # shipped shape: CC on the near graph only (quotient contraction)
+        comp = CC.connected_components(near_pairs, DEFAULT, metrics_out=probes)
     t["cc_loop_wall"] = round(time.monotonic() - t0_stage, 3)
 
     def _assign():
         d = docs.select("doc_id")
-        joined = (
-            d.join(comp, "doc_id", "left")
-            .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
-            .withColumn(
-                "is_representative", F.col("doc_id") == F.col("cluster_id")
+        if variant == "full":
+            joined = (
+                d.join(comp, "doc_id", "left")
+                .withColumn(
+                    "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+                )
+                .withColumn(
+                    "is_representative", F.col("doc_id") == F.col("cluster_id")
+                )
             )
-        )
+        else:
+            comp_k = comp.select(
+                F.col("doc_id").alias("keeper"),
+                F.col("cluster_id").alias("_comp_min"),
+            )
+            lab = (
+                labels.select("doc_id", "keeper")
+                .join(comp_k, "keeper", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("_comp_min", "keeper").alias("_qc"),
+                )
+            )
+            joined = (
+                d.join(lab, "doc_id", "left")
+                .withColumn("cluster_id", F.coalesce("_qc", F.col("doc_id")))
+                .drop("_qc")
+                .withColumn(
+                    "is_representative", F.col("doc_id") == F.col("cluster_id")
+                )
+            )
         return joined.localCheckpoint(eager=True)
 
     clusters = timed("cc_assign_join", _assign)
@@ -94,6 +124,7 @@ def main() -> None:
         json.dumps(
             {
                 "expansion": expansion,
+                "variant": variant,
                 "cores": spark.sparkContext.defaultParallelism,
                 "n_clusters": n,
                 "timings": t,

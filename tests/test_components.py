@@ -71,6 +71,53 @@ def test_assign_clusters_covers_untouched_docs(spark):
     assert got.count() == 10
 
 
+def test_assign_clusters_via_labels_matches_full_graph(spark):
+    """Quotient-graph CC == full-graph CC on a randomized corpus shape:
+    exact-dup groups (stars to the group-min keeper) plus near edges that
+    connect only keepers — the engine's invariant (fingerprints are
+    computed on exact survivors)."""
+    rng = random.Random(11)
+    # 40 exact groups of size 1..8 over doc ids 0..N
+    doc_id, labels_rows = 0, []
+    keepers = []
+    for _g in range(40):
+        size = rng.randint(1, 8)
+        members = list(range(doc_id, doc_id + size))
+        doc_id += size
+        keeper = min(members)
+        keepers.append(keeper)
+        labels_rows += [(m, keeper) for m in members]
+    # near edges between random keepers (some keepers isolated)
+    near = sorted(
+        {tuple(sorted(rng.sample(keepers, 2))) for _ in range(30)}
+    )
+    labels = spark.createDataFrame(labels_rows, "doc_id long, keeper long")
+    docs = spark.createDataFrame(
+        [(i,) for i, _ in labels_rows], "doc_id long"
+    )
+    near_df = spark.createDataFrame(
+        [(a, b, 1.0, "near") for a, b in near],
+        "src_id long, dst_id long, score double, stage string",
+    )
+    exact_pairs = spark.createDataFrame(
+        [(k, m, 0.0, "exact") for m, k in labels_rows if m != k],
+        "src_id long, dst_id long, score double, stage string",
+    )
+    full = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in CC.assign_clusters(
+            docs, exact_pairs.unionByName(near_df)
+        ).collect()
+    }
+    quotient = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in CC.assign_clusters_via_labels(
+            docs, labels, near_df
+        ).collect()
+    }
+    assert quotient == full
+
+
 def test_greedy_survivors_independent_set(spark):
     rng = random.Random(3)
     edges = sorted(
