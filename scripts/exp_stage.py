@@ -160,8 +160,17 @@ def main() -> None:
                 ).write.mode("overwrite").parquet(cands_path)
                 t0 = time.monotonic()
             cands = spark.read.parquet(cands_path)
+            # low 16 bits, sign-extended (ANSI cast would overflow):
+            # shiftleft/shiftright on int is 32-bit, so this lands in
+            # smallint range exactly.
             fp16 = fp.withColumn(
-                "minhash", F.col("minhash").cast("array<smallint>")
+                "minhash",
+                F.transform(
+                    "minhash",
+                    lambda x: F.shiftright(F.shiftleft(x, 16), 16).cast(
+                        "smallint"
+                    ),
+                ),
             )
             LSH.verify_pairs(
                 cands, fp16, DEFAULT, mode="estimate"
