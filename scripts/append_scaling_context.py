@@ -168,7 +168,8 @@ paired 4N leg — and the three estimators bracket the true value.
 | r2 mid | 4→16c, median of 3 | 0.706 | 11968 @16c |
 | r2 final | 2→8c, 5 interleaved repeats | 0.768 | 12527 @8c |
 | r3 | 2→8c, interleaved, fused pair job, unpinned | 0.768 carried | 7136 @8c |
-| r4 | 2→8c, interleaved, fused, taskset-PINNED | (headline above) | (headline above) |
+| r4 mid | 2→8c, 3 interleaved repeats, taskset-PINNED, pre-quotient-CC code (4f7b107) | 0.704 | 7733 @8c |
+| r4 final | 2→8c, interleaved, fused, taskset-PINNED, quotient-CC HEAD | (headline above) | (headline above) |
 """
 
 
