@@ -50,6 +50,24 @@ def main() -> None:
         if not r.get("_meta", {}).get("pinned"):
             raise SystemExit("unpinned leg in the HEAD set; refusing")
     shas = sorted({r["_meta"]["git_sha"] for r in runs_n + runs_4n})
+    if len(shas) > 1:
+        # Multiple stamps are acceptable ONLY when the code the legs
+        # execute is identical across them (doc/tooling-only commits
+        # landing mid-protocol). Verify, don't assert.
+        import subprocess
+
+        for a, b in zip(shas, shas[1:]):
+            d = subprocess.run(
+                ["git", "diff", "--stat", a, b, "--",
+                 "image_dedup_spark", "bench.py"],
+                cwd=REPO, capture_output=True, text=True,
+            ).stdout.strip()
+            if d:
+                raise SystemExit(
+                    f"legs span DIFFERENT measured code ({a[:9]}..{b[:9]}"
+                    f" diffs image_dedup_spark/bench.py):\n{d}\nrefusing "
+                    "to mix code versions in one headline"
+                )
     eff = write_report(runs_n, runs_4n, 2, 8, 1000)
     extra = secondary_sections()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
@@ -70,11 +88,11 @@ def main() -> None:
                 )
         if len(shas) > 1:
             f.write(
-                "\nLeg stamps differ only by documentation commits "
-                f"({', '.join(s[:9] for s in shas)}): `git diff` over "
-                "`image_dedup_spark/ bench.py scripts/ __spark_entry__.py "
-                "tests/` between them is empty — one code version, "
-                "as the protocol requires.\n"
+                "\nLeg stamps differ only by documentation/report-tooling "
+                f"commits ({', '.join(s[:9] for s in shas)}): `git diff` "
+                "over the code the legs execute — `image_dedup_spark/ "
+                "bench.py` — between them is empty, i.e. one measured "
+                "code version, as the protocol requires.\n"
             )
     print(json.dumps({"eff": round(eff, 3), "shas": shas}))
 
