@@ -28,6 +28,21 @@ class DedupConfig:
     lsh_rows: int = 4               # r  (k = b*r); J* ~ (1/b)^(1/r) ~ 0.42
     jaccard_threshold: float = 0.7  # verify threshold (>=, exact Jaccard)
     minhash_seed: int = 0x5EED_0001
+    # Signature component width: each component stores the HIGH
+    # `minhash_bits` bits of its 64-bit multiply-shift minimum (min
+    # first, then truncate — a deterministic post-map of the min, so
+    # the MinHash collision property is preserved exactly). 16 halves
+    # the fingerprint table and the verify join's candidate×signature
+    # shuffle vs 32; the cost is a per-component false-equality rate of
+    # 2^-16, i.e. an estimate-mode score bias of (1-J)·2^-16 ≈ 1.5e-5 —
+    # two orders of magnitude below the 1/num_hashes score granularity
+    # the threshold is quantized to. Band keys keep lsh_rows×16 = 64
+    # bits of slice entropy, so false band collisions stay negligible
+    # and recall is unchanged (the recall gate + driver oracles verify).
+    # Lineage: int64→int32 was measured at ~3.8× on the 1.5M bench
+    # (round 2); 32→16 was A/B'd in BENCH/ANALYSIS_r4.md §9 and is
+    # shipped here AT WRITE TIME, the form that section prescribes.
+    minhash_bits: int = 16
 
     # --- SimHash ---------------------------------------------------------
     simhash_bits: int = 256         # 4 x 64-bit words (array<long>)

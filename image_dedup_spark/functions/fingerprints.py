@@ -3,7 +3,8 @@ vectorized with numpy inside Arrow-batched pandas UDFs (no per-row
 Python; north_rule).
 
 One Arrow pass per document batch computes, per doc:
-  - ``minhash``  : array<long>, k multiply-shift permutation minima over
+  - ``minhash``  : array of k multiply-shift permutation minima
+                   (high ``cfg.minhash_bits`` bits each) over
                    the set of packed character shingles (the text
                    analogue of the reference's phash,
                    /root/reference/hash_func.cpp:147-198);
@@ -34,19 +35,30 @@ from image_dedup_spark.config import DEFAULT, DedupConfig
 
 _U64 = np.uint64
 
-FINGERPRINT_SCHEMA = T.StructType(
-    [
-        # minhash components are the HIGH 32 bits of the 64-bit
-        # multiply-shift minima (min first, then truncate — any
-        # deterministic post-map of the min preserves the MinHash
-        # collision property). int32 halves every downstream shuffle
-        # and the equality-estimate bias is 2^-32 per component.
-        T.StructField("minhash", T.ArrayType(T.IntegerType()), False),
-        T.StructField("simhash", T.ArrayType(T.LongType()), False),
-        T.StructField("shingles", T.ArrayType(T.LongType()), False),
-        T.StructField("n_shingles", T.LongType(), False),
-    ]
-)
+# minhash components are the HIGH cfg.minhash_bits bits of the 64-bit
+# multiply-shift minima (min first, then truncate — any deterministic
+# post-map of the min preserves the MinHash collision property; see
+# config.DedupConfig.minhash_bits for the bias/recall accounting).
+# Narrower components shrink every downstream shuffle and the
+# fingerprint table itself.
+_MINHASH_ELEM = {16: T.ShortType(), 32: T.IntegerType(), 64: T.LongType()}
+_MINHASH_DTYPE = {16: np.int16, 32: np.int32, 64: np.int64}
+
+
+def fingerprint_schema(cfg: DedupConfig = DEFAULT) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "minhash", T.ArrayType(_MINHASH_ELEM[cfg.minhash_bits]), False
+            ),
+            T.StructField("simhash", T.ArrayType(T.LongType()), False),
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("n_shingles", T.LongType(), False),
+        ]
+    )
+
+
+FINGERPRINT_SCHEMA = fingerprint_schema(DEFAULT)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -118,11 +130,12 @@ def _fingerprint_core(
     b: np.ndarray,
     offs: np.ndarray,
     shifts: np.ndarray,
+    mh_bits: int = 32,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(minhash int32[k], simhash int64[n_words]) for one doc's shingle
-    set — blocked so per-block temporaries stay cache-resident. Min is
-    associative and the bit counts are plain sums, so the result is
-    bit-identical to the unblocked round-1 kernel (and to the DuckDB
+    """(minhash int{mh_bits}[k], simhash int64[n_words]) for one doc's
+    shingle set — blocked so per-block temporaries stay cache-resident.
+    Min is associative and the bit counts are plain sums, so the result
+    is bit-identical to the unblocked round-1 kernel (and to the DuckDB
     oracle's replay of the same arithmetic)."""
     k = len(a)
     n_words = len(offs)
@@ -144,7 +157,14 @@ def _fingerprint_core(
                 bitcnt[j] += (
                     (v[:, None] >> shifts[None, :]) & _U64(1)
                 ).sum(axis=0, dtype=np.int64)
-    minhash = (mins >> _U64(32)).astype(np.int64).astype(np.int32)
+    # High bits of the min, reinterpreted into the signed storage type
+    # (the wrap is a bijection on the truncated value, so equality —
+    # the only operation downstream — is preserved).
+    minhash = (
+        (mins >> _U64(64 - mh_bits))
+        .astype(np.int64)
+        .astype(_MINHASH_DTYPE[mh_bits])
+    )
     # bit set iff strictly more than half the shingles set it (exact
     # integer form of the old float `bits > n/2` comparison)
     words = np.empty(n_words, dtype=np.int64)
@@ -166,7 +186,9 @@ def minhash_signature_batch(
     with np.errstate(over="ignore"):
         for t in texts:
             u = shingle_hashes(t or "", cfg)
-            out.append(_fingerprint_core(u, a, b, offs, shifts)[0])
+            out.append(
+                _fingerprint_core(u, a, b, offs, shifts, cfg.minhash_bits)[0]
+            )
     return out
 
 
@@ -178,7 +200,9 @@ def simhash_batch(texts: pd.Series, cfg: DedupConfig = DEFAULT) -> list[np.ndarr
     with np.errstate(over="ignore"):
         for t in texts:
             u = shingle_hashes(t or "", cfg)
-            out.append(_fingerprint_core(u, a, b, offs, shifts)[1])
+            out.append(
+                _fingerprint_core(u, a, b, offs, shifts, cfg.minhash_bits)[1]
+            )
     return out
 
 
@@ -208,7 +232,9 @@ def make_fingerprint_udf(cfg: DedupConfig = DEFAULT, store_sketch: bool = True):
             with np.errstate(over="ignore"):
                 for t in texts:
                     u = shingle_hashes(t or "", cfg)
-                    minhash, words = _fingerprint_core(u, a, b, offs, shifts)
+                    minhash, words = _fingerprint_core(
+                        u, a, b, offs, shifts, cfg.minhash_bits
+                    )
                     mh.append(minhash)
                     sh.append(words)
                     sk.append(u.astype(np.int64) if store_sketch else _EMPTY_I64)
@@ -222,7 +248,7 @@ def make_fingerprint_udf(cfg: DedupConfig = DEFAULT, store_sketch: bool = True):
                 }
             )
 
-    return F.pandas_udf(_compute, FINGERPRINT_SCHEMA)
+    return F.pandas_udf(_compute, fingerprint_schema(cfg))
 
 
 def exact_jaccard(u: np.ndarray, v: np.ndarray) -> float:

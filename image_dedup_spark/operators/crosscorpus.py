@@ -43,6 +43,19 @@ def near_dup_ids_vs_gallery(
     """doc_ids of src rows that near-duplicate (minhash-verified) at least
     one gallery row. The verify is the signature-estimate form so no
     sketch shuffle crosses corpora."""
+    # Band keys are xxhash64 over the signature slice, which hashes the
+    # STORAGE type: two tables written under different minhash_bits
+    # (array<smallint> vs array<int>) never band-collide even on equal
+    # logical values — the join would silently find zero candidates.
+    a_t = src_fp.schema["minhash"].dataType.elementType
+    b_t = gallery_fp.schema["minhash"].dataType.elementType
+    if a_t != b_t:
+        raise ValueError(
+            "fingerprint tables disagree on minhash component width "
+            f"({a_t.simpleString()} vs {b_t.simpleString()}): they were "
+            "written under different DedupConfig.minhash_bits; regenerate "
+            "one side (gen_fp) so both corpora share one signature layout"
+        )
     sb = minhash_band_table(src_fp, cfg).withColumnRenamed("doc_id", "src_id")
     gb = minhash_band_table(gallery_fp, cfg).withColumnRenamed("doc_id", "gal_id")
     if broadcast_gallery:

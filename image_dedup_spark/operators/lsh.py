@@ -263,8 +263,8 @@ def verify_pairs(
       prefilter survivors. The filter references both sides, so Catalyst
       cannot push it below a single wide join — phasing it by hand keeps
       the heavy arrays out of the candidate shuffle.
-    * ``estimate`` — single-phase: the payload is a 128×int32 signature
-      (~512B), cheaper to ship once than to pay two extra shuffle joins
+    * ``estimate`` — single-phase: the payload is a k×int{minhash_bits} signature
+      (~256B at 128×16-bit), cheaper to ship once than to pay two extra joins
       for a prefilter that rejects few candidates (band-collided docs
       mostly have similar shingle counts; measured 2.8× slower as
       two-phase at 5M docs / 4 cores). The same prefilter predicate

@@ -56,7 +56,8 @@ PIPELINE_FORMAT = "4"
 
 
 def _format_marker_value(
-    include_substring: bool, verify_mode: str, sequential: bool
+    include_substring: bool, verify_mode: str, sequential: bool,
+    minhash_bits: int,
 ) -> str:
     """Layout version PLUS the run-mode parameters. The sequential and
     union modes share downstream stage names (07_all_pairs, 08_clusters,
@@ -67,6 +68,7 @@ def _format_marker_value(
     return (
         f"{PIPELINE_FORMAT};sequential={int(sequential)}"
         f";substring={int(include_substring)};verify={verify_mode}"
+        f";mhbits={minhash_bits}"
     )
 
 
@@ -75,12 +77,15 @@ def _check_format_marker(
     include_substring: bool,
     verify_mode: str,
     sequential: bool,
+    minhash_bits: int,
 ) -> None:
     if not checkpoint_dir:
         return
     import os
 
-    expect = _format_marker_value(include_substring, verify_mode, sequential)
+    expect = _format_marker_value(
+        include_substring, verify_mode, sequential, minhash_bits
+    )
     marker = os.path.join(checkpoint_dir, "_PIPELINE_FORMAT")
     if os.path.exists(marker):
         found = open(marker).read().strip()
@@ -149,7 +154,8 @@ def run_pipeline(
     because one clustering over all evidence is order-independent and
     never splits what any family joins."""
     _check_format_marker(
-        checkpoint_dir, include_substring, verify_mode, sequential
+        checkpoint_dir, include_substring, verify_mode, sequential,
+        cfg.minhash_bits,
     )
     metrics: list[dict] = []
 

@@ -319,6 +319,11 @@ def main() -> None:
     pyfiles = build()
     runs_n, runs_4n = [], []
     pin_tag = "_pin" if _pin_cpus() else ""
+    # Optional protocol tag (e.g. "_i16"): keeps a new protocol's leg
+    # files from overwriting a superseded protocol's persisted legs —
+    # the round-over-round appendix reads every persisted leg, so old
+    # evidence must stay on disk, partitioned by name + stamp.
+    pin_tag += os.environ.get("SPARK_GRAFT_SCALE_TAG", "")
     for i in range(repeats):
         suffix = f"{pin_tag}_r{i}" if repeats > 1 else pin_tag
         runs_n.append(run_bench(n, expansion, sf_dir, pyfiles, suffix))

@@ -126,6 +126,22 @@ def test_fingerprints_deterministic_and_sane():
     assert exact_jaccard(u1, u1) == 1.0
 
 
+def test_minhash_width_truncates_same_minima():
+    """minhash_bits is a post-map of the SAME 64-bit minima: the
+    16-bit components must equal the high 16 bits of the 32-bit ones
+    (equality structure is preserved, only the storage narrows)."""
+    from dataclasses import replace
+
+    from image_dedup_spark.config import DEFAULT
+
+    t = "the quick brown fox jumps over the lazy dog " * 10
+    s = pd.Series([t])
+    mh16 = minhash_signature_batch(s, replace(DEFAULT, minhash_bits=16))[0]
+    mh32 = minhash_signature_batch(s, replace(DEFAULT, minhash_bits=32))[0]
+    assert mh16.dtype == np.int16 and mh32.dtype == np.int32
+    assert (mh16 == (mh32.astype(np.uint32) >> 16).astype(np.int16)).all()
+
+
 def test_hex_roundtrip_including_negative_words(spark):
     """P8 serde both ways (big_int.hpp:40-60, 75-85): parse(render(fp))
     reproduces the exact 64-bit patterns, including sign-bit words."""

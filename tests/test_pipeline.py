@@ -139,6 +139,18 @@ def test_pipeline_refuses_cross_mode_resume(spark, corpus, tmp_path_factory):
         run_pipeline(spark, pages, checkpoint_dir=root, verify_mode="estimate")
     with pytest.raises(RuntimeError, match="mode"):
         run_pipeline(spark, pages, checkpoint_dir=root, include_substring=True)
+    # a stage-output-schema parameter flip (minhash component width)
+    # must refuse too: the checkpointed fingerprint stage's minhash
+    # element type would not match what downstream recomputes expect
+    from dataclasses import replace
+
+    from image_dedup_spark.config import DEFAULT
+
+    with pytest.raises(RuntimeError, match="mode"):
+        run_pipeline(
+            spark, pages, cfg=replace(DEFAULT, minhash_bits=32),
+            checkpoint_dir=root,
+        )
     # same mode still resumes cleanly
     r = run_pipeline(spark, pages, checkpoint_dir=root)
     assert all(m["resumed"] for m in r.metrics)
