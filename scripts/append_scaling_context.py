@@ -48,6 +48,21 @@ def _stamp(r: dict) -> str:
     return sha[:9] if sha else "unstamped (pre-round-3 code)"
 
 
+def _at_head(legs: list[dict]) -> list[dict]:
+    """Only legs whose stamped commit executes code identical to HEAD's
+    (packaged sources + bench.py — scaling_run's measured-code rule).
+    Legs from a superseded code version stay on disk as history but must
+    not be presented as evidence for the current code."""
+    from scaling_run import _git_sha, _measured_code_identical
+
+    head = _git_sha()
+    return [
+        r
+        for r in legs
+        if _measured_code_identical(r.get("_meta", {}).get("git_sha", ""), head)
+    ]
+
+
 def _bandwidth_share_section() -> str:
     """Pinned 1→4-core pair (smaller input): the 4-core leg uses at most
     half of this box's DRAM bandwidth, so the platform ceiling for
@@ -55,11 +70,34 @@ def _bandwidth_share_section() -> str:
     saturate the one memory controller). If efficiency RISES as the
     upper leg's bandwidth share falls, the headline gap is platform
     bandwidth — the resource a real cluster multiplies per executor —
-    not software serialization. Emitted only when the legs exist."""
-    c1 = _legs(1, expansion=100, pinned=True)
-    c4 = _legs(4, expansion=100, pinned=True)
+    not software serialization. Emitted only when the legs exist.
+
+    Prefers legs measured at HEAD's code; falls back to the most recent
+    superseded series (labelled with its stamps) when no HEAD-code pair
+    exists yet, so the appendix never silently mixes code versions in
+    one paired table."""
+    c1_all = _legs(1, expansion=100, pinned=True)
+    c4_all = _legs(4, expansion=100, pinned=True)
+    c1, c4 = _at_head(c1_all), _at_head(c4_all)
+    stale = False
     if not c1 or not c4:
-        return ""
+        # Fall back to the superseded series ONLY if all its legs share
+        # one measured-code version among themselves (doc-only commits
+        # between repeats are fine; two code versions are not).
+        from scaling_run import _measured_code_identical
+
+        if not c1_all or not c4_all:
+            return ""
+        base = c1_all[0].get("_meta", {}).get("git_sha", "")
+        if all(
+            _measured_code_identical(
+                base, r.get("_meta", {}).get("git_sha", "")
+            )
+            for r in c1_all + c4_all
+        ):
+            c1, c4, stale = c1_all, c4_all, True
+        else:
+            return ""
     k = min(len(c1), len(c4))
     paired_v = [
         b["docs_per_sec"] / (4 * a["docs_per_sec"]) for a, b in zip(c1, c4)
@@ -72,10 +110,19 @@ def _bandwidth_share_section() -> str:
         for cores, legs in ((1, c1[:k]), (4, c4[:k]))
         for i, r in enumerate(legs)
     )
+    stamps = sorted({_stamp(r) for r in c1[:k] + c4[:k]})
+    code_note = (
+        f"**Measured on superseded code** (stamps {', '.join(stamps)} — "
+        "one measured-code version among themselves, but older than "
+        "HEAD); kept as the best available series until a HEAD-code "
+        "1→4 run replaces it.\n\n"
+        if stale
+        else f"Legs at HEAD's measured code (stamps {', '.join(stamps)}).\n\n"
+    )
     return f"""
 ## Secondary evidence: 1 → 4 cores, pinned ({m1['n_docs']} docs — efficiency vs bandwidth share)
 
-Same protocol (taskset-pinned, interleaved, fused pair job) at a level
+{code_note}Same protocol (taskset-pinned, interleaved, fused pair job) at a level
 pair whose UPPER leg uses ≤ half the machine's DRAM bandwidth (the
 2→8 headline's upper leg saturates it; see the burn-test ceilings
 above). {k} repeat(s) per level:
@@ -169,7 +216,8 @@ paired 4N leg — and the three estimators bracket the true value.
 | r2 final | 2→8c, 5 interleaved repeats | 0.768 | 12527 @8c |
 | r3 | 2→8c, interleaved, fused pair job, unpinned | 0.768 carried | 7136 @8c |
 | r4 mid | 2→8c, 3 interleaved repeats, taskset-PINNED, pre-quotient-CC code (4f7b107) | 0.704 | 7733 @8c |
-| r4 final | 2→8c, interleaved, fused, taskset-PINNED, quotient-CC HEAD | (headline above) | (headline above) |
+| r4 late | 2→8c, 3 interleaved repeats, taskset-PINNED, quotient-CC code (552e500-era) | 0.774 | 8425 @8c |
+| r4 final | 2→8c, 3 interleaved repeats, taskset-PINNED, int16-signature HEAD | (headline above) | (headline above) |
 """
 
 

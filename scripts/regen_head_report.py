@@ -30,9 +30,23 @@ from append_scaling_context import secondary_sections  # noqa: E402
 SUFFIXES = ["_pin_head", "_pin_head_r1", "_pin_head_r2"]
 
 
+def _suffixes() -> list[str]:
+    """Suffix set selecting which protocol's legs make the headline.
+
+    ``regen_head_report.py <tag> [repeats]`` (e.g. ``_pin_i16 5``)
+    selects ``leg_c{2,8}_x1000<tag>_r{0..repeats-1}.json`` — the naming
+    scaling_run uses for a tagged multi-repeat protocol. With no args,
+    the original quotient-CC HEAD revalidation set (round-4 §10)."""
+    if len(sys.argv) > 1:
+        tag = sys.argv[1]
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+        return [f"{tag}_r{i}" for i in range(n)]
+    return SUFFIXES
+
+
 def _legs(cores: int) -> list[dict]:
     out = []
-    for s in SUFFIXES:
+    for s in _suffixes():
         p = os.path.join(REPO, "BENCH", f"leg_c{cores}_x1000{s}.json")
         if os.path.exists(p):
             out.append(json.load(open(p)))

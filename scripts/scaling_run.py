@@ -37,6 +37,31 @@ def _git_sha() -> str:
         return "unknown"
 
 
+def _measured_code_identical(a: str, b: str) -> bool:
+    """True when the code a leg actually executes — the packaged
+    ``image_dedup_spark`` sources plus ``bench.py`` — is byte-identical
+    between two commits. Doc/test/script commits landing between the
+    legs of one protocol must not burn a 30-minute measurement, but ANY
+    change under the measured paths must. Same rule as
+    ``regen_head_report`` uses before mixing stamps in one headline."""
+    if a == b:
+        return True
+    if not a or not b:
+        return False
+    try:
+        d = subprocess.run(
+            ["git", "diff", "--stat", a, b, "--",
+             "image_dedup_spark", "bench.py"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        return d.returncode == 0 and not d.stdout.strip()
+    except Exception:
+        return False
+
+
 def _pin_cpus() -> bool:
     """True when legs should be pinned to exactly `cores` physical CPUs.
 
@@ -84,7 +109,7 @@ def run_bench(
             prior = json.load(f)
         stamp = prior.get("_meta", {})
         if (
-            stamp.get("git_sha") == _git_sha()
+            _measured_code_identical(stamp.get("git_sha", ""), _git_sha())
             and stamp.get("sf_dir") == sf_dir
             and stamp.get("pinned", False) == pinned
         ):

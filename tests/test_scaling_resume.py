@@ -75,6 +75,60 @@ def test_no_resume_when_code_or_input_changed(tmp_path, monkeypatch):
         scaling_run.run_bench(2, 10, "/nonexistent", None, suffix="_r1")
 
 
+def test_resume_across_doc_only_commits_but_not_code(tmp_path, monkeypatch):
+    """The resume gate compares the code a leg EXECUTES (the packaged
+    sources + bench.py), not the raw sha: a doc/test/script commit
+    landing between the legs of one protocol must not burn a 30-minute
+    measurement, but any change under the measured paths must."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=tmp_path, check=True, capture_output=True
+        )
+
+    def sha():
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=tmp_path,
+            capture_output=True, text=True,
+        ).stdout.strip()
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "image_dedup_spark").mkdir()
+    (tmp_path / "image_dedup_spark" / "x.py").write_text("A = 1\n")
+    (tmp_path / "bench.py").write_text("B = 1\n")
+    git("add", "-A")
+    git("commit", "-qm", "base")
+    leg_sha = sha()
+
+    monkeypatch.setattr(scaling_run, "REPO", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_RESUME", "1")
+    monkeypatch.setenv("SPARK_GRAFT_PIN_CPUS", "0")
+    (tmp_path / "BENCH").mkdir()
+    leg = {
+        "docs_per_sec": 123.0,
+        "_meta": {"git_sha": leg_sha, "sf_dir": "/nonexistent"},
+    }
+    leg_file = tmp_path / "BENCH" / "leg_c2_x10_r1.json"
+    leg_file.write_text(json.dumps(leg))
+
+    # doc-only commit after the leg: measured code identical -> resume
+    (tmp_path / "README.md").write_text("doc\n")
+    git("add", "-A")
+    git("commit", "-qm", "doc only")
+    out = scaling_run.run_bench(2, 10, "/nonexistent", None, suffix="_r1")
+    assert out == leg
+
+    # measured-code commit after the leg: stale evidence -> re-run
+    (tmp_path / "bench.py").write_text("B = 2\n")
+    git("add", "-A")
+    git("commit", "-qm", "bench change")
+    with pytest.raises(Exception):
+        scaling_run.run_bench(2, 10, "/nonexistent", None, suffix="_r1")
+
+
 def test_no_resume_without_optin(tmp_path, monkeypatch):
     monkeypatch.setattr(scaling_run, "REPO", str(tmp_path))
     (tmp_path / "BENCH").mkdir()
