@@ -573,7 +573,9 @@ def q_quotient_clusters(spark, sf_dir):
         .filter(F.col("src_id") < F.col("dst_id"))
         .select("src_id", "dst_id")
     )
-    return CC.assign_clusters_via_labels(d.select("doc_id"), lab, edges)
+    # docs=None: lab enumerates every doc row already, so the cluster
+    # table derives from it without a corpus-sized docs-join-back.
+    return CC.assign_clusters_via_labels(None, lab, edges)
 
 
 SQL_QUOTIENT_CLUSTERS = f"""

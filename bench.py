@@ -189,8 +189,11 @@ def main() -> None:
     cc_probes: list = []
     clusters = timed(
         "q_connected_components",
+        # docs=None: exact_labels has one row per corpus doc, so the
+        # cluster table derives from it directly — no corpus-sized
+        # docs-join-back (components.assign_clusters_via_labels).
         lambda: CC.assign_clusters_via_labels(
-            docs.select("doc_id"),
+            None,
             exact_labels,
             near_pairs,
             DEFAULT,

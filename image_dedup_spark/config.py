@@ -89,8 +89,23 @@ class DedupConfig:
     # frontier after one full round (131 changed labels out of 1M docs on
     # the bench corpus), so the late rounds collapse from full shuffles
     # to map-side passes. Bounded: the frontier is driver-broadcast, so
-    # the cap also bounds broadcast memory (~16B/row).
-    cc_frontier_max: int = 100_000
+    # the cap also bounds broadcast memory (~16B/row). 600k rows is
+    # ~30MB hashed — small against executor memory at any level, and it
+    # lets the near-converged round after the first full pass (which on
+    # the 5M bench graph re-shuffles every edge to discover 373 changed
+    # labels) run as a map-side frontier round instead.
+    cc_frontier_max: int = 600_000
+    # ... but only while the frontier is a minority of the graph: a
+    # mid-convergence fat frontier (> this % of vertices) propagates
+    # faster through a full round's global pointer jump.
+    cc_frontier_frac_pct: int = 25
+    # A frontier round's offer table (min proposed label per vertex
+    # ADJACENT to the frontier) is pinned and counted; at or below this
+    # many rows the rest of the round goes fully map-side (offers,
+    # pointer-jump lookup, and merge-back all broadcast) — above it the
+    # shuffle shapes are kept (star-shaped adjacency can make offers
+    # much larger than the frontier itself).
+    cc_offer_bcast_max: int = 2_000_000
     # greedy (reference-compat) survivor mode: components with more
     # edges than this skip the single-task pandas greedy pass and fall
     # back to keep-first (min doc_id) — bounds per-task memory against

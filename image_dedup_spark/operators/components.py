@@ -192,13 +192,14 @@ def connected_components(
             break
         base = labels.select("doc_id", "cluster_id")
         # Frontier rounds pay off when the changed set is BOTH
-        # broadcast-safe (<= cc_frontier_max rows) and a small fraction
-        # of the graph (<= 1% of vertices): a mid-convergence graph with
-        # a fat frontier propagates faster through a full round's global
-        # pointer jump than through one-hop frontier offers.
+        # broadcast-safe (<= cc_frontier_max rows) and a minority of the
+        # graph (<= cc_frontier_frac_pct of vertices): a mid-convergence
+        # graph with a fat frontier propagates faster through a full
+        # round's global pointer jump than through one-hop frontier
+        # offers.
         frontier_ok = (
             n_changed <= cfg.cc_frontier_max
-            and n_changed * 100 <= n_vertices
+            and n_changed * 100 <= n_vertices * cfg.cc_frontier_frac_pct
         )
         if frontier_ok and streak < _FRONTIER_STREAK_MAX:
             # ---- frontier round: no edge shuffle --------------------
@@ -216,6 +217,15 @@ def connected_components(
                 .agg(F.min("offer").alias("offer"))
             )
             offers = _truncate_lineage(offers)
+            # Pinned and (usually) tiny: counting it is one fast job over
+            # cached blocks, and the count decides whether the REST of
+            # the round can go fully map-side. The frontier cap bounds
+            # the changed set but not its adjacency (a changed star
+            # center offers to every leaf), so the broadcast decision
+            # needs the materialized size, not an a-priori bound.
+            bcast_ok = offers.count() <= cfg.cc_offer_bcast_max
+            if bcast_ok:
+                offers = F.broadcast(offers)
             merged = base.join(offers, "doc_id", "left").select(
                 "doc_id",
                 F.col("cluster_id").alias("old"),
@@ -229,15 +239,40 @@ def connected_components(
             ch = merged.filter(F.col("cluster_id") < F.col("old")).select(
                 "doc_id", "cluster_id"
             )
-            lk = merged.select(
-                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-            )
-            jumped = ch.join(lk, ch.cluster_id == lk.p_id, "left").select(
-                F.col("doc_id").alias("j_id"),
-                F.coalesce("p_label", "cluster_id").alias("j_label"),
-            )
+            if bcast_ok:
+                # |ch| <= |offers| (only offered-to rows can change), so
+                # the jump's lookup table can be RESTRICTED to the rows
+                # ch actually targets — a broadcast semi-join over the
+                # (map-side) merged scan — and the whole round touches
+                # no exchange except offers' own small groupBy: `base`
+                # is scanned from pinned blocks, never shuffled.
+                targets = ch.select(F.col("cluster_id").alias("t_id")).distinct()
+                lk = merged.join(
+                    F.broadcast(targets),
+                    merged.doc_id == F.col("t_id"),
+                    "left_semi",
+                ).select(
+                    F.col("doc_id").alias("p_id"),
+                    F.col("cluster_id").alias("p_label"),
+                )
+                jumped = ch.join(
+                    F.broadcast(lk), ch.cluster_id == F.col("p_id"), "left"
+                ).select(
+                    F.col("doc_id").alias("j_id"),
+                    F.coalesce("p_label", "cluster_id").alias("j_label"),
+                )
+                jumped = F.broadcast(jumped)
+            else:
+                lk = merged.select(
+                    F.col("doc_id").alias("p_id"),
+                    F.col("cluster_id").alias("p_label"),
+                )
+                jumped = ch.join(lk, ch.cluster_id == lk.p_id, "left").select(
+                    F.col("doc_id").alias("j_id"),
+                    F.coalesce("p_label", "cluster_id").alias("j_label"),
+                )
             labels = merged.join(
-                jumped, merged.doc_id == jumped.j_id, "left"
+                jumped, merged.doc_id == F.col("j_id"), "left"
             ).select(
                 "doc_id",
                 F.coalesce("j_label", "cluster_id").alias("cluster_id"),
@@ -308,7 +343,7 @@ def assign_clusters(
 
 
 def assign_clusters_via_labels(
-    docs: DataFrame,
+    docs: DataFrame | None,
     labels: DataFrame,
     near_edges: DataFrame,
     cfg: DedupConfig = DEFAULT,
@@ -341,7 +376,14 @@ def assign_clusters_via_labels(
     it fits) instead of riding every propagation round. Measured at 1M
     docs / pinned 8 cores: the CC stage's label loop drops from 22.7s
     (5 probe barriers over 1M-vertex label tables) to the near-graph
-    loop over ~100k vertices (BENCH/ANALYSIS_r4.md §8)."""
+    loop over ~100k vertices (BENCH/ANALYSIS_r4.md §8).
+
+    ``docs=None``: when the caller needs no extra doc columns and the
+    labels table was built over the SAME rows (always true for
+    exact.labels on the input corpus — one row per doc), the result is
+    derived from ``labels`` directly and the corpus-sized
+    docs-join-back (a full sort-merge join that only re-discovers rows
+    the labels table already enumerates) is skipped entirely."""
     comp = connected_components(near_edges, cfg, metrics_out=metrics_out)
     comp_k = comp.select(
         F.col("doc_id").alias("keeper"), F.col("cluster_id").alias("_comp_min")
@@ -354,6 +396,11 @@ def assign_clusters_via_labels(
             F.coalesce("_comp_min", "keeper").alias("_quotient_cluster"),
         )
     )
+    if docs is None:
+        return lab.select(
+            F.col(id_col),
+            F.col("_quotient_cluster").alias("cluster_id"),
+        ).withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
     return (
         docs.join(lab, id_col, "left")
         .withColumn(

@@ -93,22 +93,18 @@ def main() -> None:
                 )
             )
         else:
+            # bench shape: derive from labels, no docs-join-back
             comp_k = comp.select(
                 F.col("doc_id").alias("keeper"),
                 F.col("cluster_id").alias("_comp_min"),
             )
-            lab = (
+            joined = (
                 labels.select("doc_id", "keeper")
                 .join(comp_k, "keeper", "left")
                 .select(
                     "doc_id",
-                    F.coalesce("_comp_min", "keeper").alias("_qc"),
+                    F.coalesce("_comp_min", "keeper").alias("cluster_id"),
                 )
-            )
-            joined = (
-                d.join(lab, "doc_id", "left")
-                .withColumn("cluster_id", F.coalesce("_qc", F.col("doc_id")))
-                .drop("_qc")
                 .withColumn(
                     "is_representative", F.col("doc_id") == F.col("cluster_id")
                 )

@@ -187,3 +187,72 @@ def test_frontier_rounds_used_and_correct(spark):
         == 0
     )
     assert probes[-1]["changed"] == 0 and probes[-1]["converged"]
+
+
+def test_frontier_shuffle_fallback_matches_broadcast_path(spark):
+    """cc_offer_bcast_max=0 forces every frontier round onto the
+    shuffle-shaped fallback (offers/pointer-jump NOT broadcast); the
+    labelling must be identical to the default map-side path — the two
+    branches are physical variants of the same round."""
+    from dataclasses import replace
+
+    from image_dedup_spark.config import DEFAULT
+
+    rng = random.Random(23)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(500), 2))) for _ in range(300)}
+    )
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    probes_b, probes_s = [], []
+    bcast = {
+        r.doc_id: r.cluster_id
+        for r in CC.connected_components(df, metrics_out=probes_b).collect()
+    }
+    cfg = replace(DEFAULT, cc_offer_bcast_max=0)
+    shuf = {
+        r.doc_id: r.cluster_id
+        for r in CC.connected_components(df, cfg, metrics_out=probes_s).collect()
+    }
+    assert bcast == shuf
+    # both runs actually exercised frontier rounds (else the test is vacuous)
+    assert "frontier" in [p["mode"] for p in probes_b]
+    assert "frontier" in [p["mode"] for p in probes_s]
+    assert bcast == _comp_min_expect(edges)
+
+
+def _comp_min_expect(edges):
+    oracle = _union_find_oracle(edges)
+    comp_min = {}
+    for n, root in oracle.items():
+        comp_min.setdefault(root, []).append(n)
+    return {n: min(comp_min[root]) for n, root in oracle.items()}
+
+
+def test_assign_via_labels_docs_none_matches_docs_join(spark):
+    """docs=None derives the cluster table from the labels table alone;
+    when labels cover exactly the docs rows (the exact.labels contract)
+    the output must equal the docs-join path row for row."""
+    rng = random.Random(31)
+    doc_id, labels_rows, keepers = 0, [], []
+    for _g in range(25):
+        size = rng.randint(1, 6)
+        members = list(range(doc_id, doc_id + size))
+        doc_id += size
+        keepers.append(min(members))
+        labels_rows += [(m, min(members)) for m in members]
+    near = sorted({tuple(sorted(rng.sample(keepers, 2))) for _ in range(15)})
+    labels = spark.createDataFrame(labels_rows, "doc_id long, keeper long")
+    docs = spark.createDataFrame([(i,) for i, _ in labels_rows], "doc_id long")
+    near_df = spark.createDataFrame(
+        [(a, b, 1.0, "near") for a, b in near],
+        "src_id long, dst_id long, score double, stage string",
+    )
+    with_docs = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in CC.assign_clusters_via_labels(docs, labels, near_df).collect()
+    }
+    without = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in CC.assign_clusters_via_labels(None, labels, near_df).collect()
+    }
+    assert without == with_docs
