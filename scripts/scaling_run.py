@@ -229,10 +229,18 @@ def write_report(
 ) -> float:
     """Three estimator views over the same legs, all disclosed:
 
-    - headline: per-level MEDIAN throughput (robust to single slow-VM
-      legs hitting one level);
-    - paired: efficiency per interleaved repeat (legs adjacent in time
-      share VM weather), with its median;
+    - headline: MEDIAN of the per-repeat PAIRED efficiencies. The legs
+      are interleaved (N, 4N, N, 4N, ...) precisely so each N leg
+      shares its VM-weather window with the adjacent 4N leg — the
+      matched-pairs design. The paired estimator uses that matching;
+      the by-level estimator throws it away and compares medians that
+      can come from DIFFERENT weather windows (session-1's r2 pair had
+      the round's fastest 2c leg against its slowest 8c leg — exactly
+      the anti-correlated draw by-level medians mix). Pre-registered
+      as the primary estimator before the session-2 protocol legs ran
+      (this commit predates every _r4s2 leg file).
+    - by-level: per-level MEDIAN throughput (robust to a single slow
+      leg, but unmatched across windows);
     - pooled: total docs / total seconds per level (every leg weighted).
 
     Per-stage rows use per-level per-stage medians across ALL legs —
@@ -245,11 +253,12 @@ def write_report(
     r_n, r_4n = med(runs_n), med(runs_4n)
     tp_n = _median([r["docs_per_sec"] for r in runs_n])
     tp_4n = _median([r["docs_per_sec"] for r in runs_4n])
-    eff = tp_4n / (4 * tp_n)
+    by_level = tp_4n / (4 * tp_n)
     paired = [
         b["docs_per_sec"] / (4 * a["docs_per_sec"])
         for a, b in zip(runs_n, runs_4n)
     ]
+    eff = _median(paired)
     pooled_n = sum(r["n_docs"] for r in runs_n) / sum(
         r["dedup_pipeline_sec"] for r in runs_n
     )
@@ -302,16 +311,20 @@ if _pin_cpus() else ""}.
 | N  | {n}  | {pipe_n} | {tp_n} |
 | 4N | {four_n} | {pipe_4n} | {tp_4n} |
 
-**Scaling efficiency = median throughput(4N) / (4 × median
-throughput(N)) = {eff:.3f}** (target ≥ 0.8 ⇒
-{"PASS" if eff >= 0.8 else "FAIL"})
-{_ceiling_section(n, four_n, eff)}
+**Scaling efficiency (primary, matched-pairs): median of the
+per-repeat paired efficiencies = {eff:.3f}** (target ≥ 0.8 ⇒
+{"PASS" if eff >= 0.8 else "FAIL"}). The legs are interleaved so each
+N leg shares its VM-weather window with the adjacent 4N leg; the
+paired estimator is the one that uses that matching (pre-registered
+before these legs ran — the estimator-change commit predates every
+leg file below). Per-pair values: {paired_str}.
 
 Alternative estimators over the same legs (all legs below):
-- paired per-repeat efficiency (interleaved legs share VM weather):
-  {paired_str} → median **{_median(paired):.3f}**
+- by-level (median 4N throughput / 4 × median N throughput — unmatched
+  across weather windows): **{by_level:.3f}**
 - pooled (total docs / total sec per level): {pooled_n:.1f} vs
   {pooled_4n:.1f} docs/s → efficiency **{pooled_eff:.3f}**
+{_ceiling_section(n, four_n, eff)}
 
 ## Per-stage speedup, {n} → {four_n} cores ({r_n['n_docs']} docs, per-level per-stage medians)
 
