@@ -152,6 +152,20 @@ def secondary_sections() -> str:
     if not c4 or not c16:
         return ""
     m4, m16 = _med(c4), _med(c16)
+    # n_clusters claims are PER PROTOCOL: the headline (pinned 2/8 at
+    # HEAD's code) and this secondary section (unpinned 4/16, round-2
+    # code) each agree internally, but the counts differ ACROSS code
+    # versions (int16 signatures shifted a handful of near-dup
+    # candidates), so quoting the old legs' count under the headline's
+    # rationale — the round-4 report bug this comment replaces — made
+    # the evidence look self-contradictory.
+    head_legs = _at_head(
+        _legs(2, pinned=True) + _legs(8, pinned=True)
+    )
+    head_clusters = sorted({r["n_clusters"] for r in head_legs})
+    sec_clusters = sorted(
+        {r["n_clusters"] for legs in (c4, c16) for r in legs}
+    )
     eff_4_16 = m16["docs_per_sec"] / (4 * m4["docs_per_sec"])
     timeline = {}
     for cores in (2, 4, 8, 16):
@@ -193,9 +207,12 @@ match the constant-per-executor spec the north rule scales.
   32-CPU host is unsaturated at both levels); local[8]→local[32] does
   not (the 4N leg saturates host bandwidth and hypervisor steal rises
   with total load — BENCH/ANALYSIS_r1.md burn test).
-- Identical output at every level pair (equal n_clusters on all legs:
-  {sorted({r["n_clusters"] for legs in (c4, c16) for r in legs})})
-  — the efficiency number compares equal work, not approximations.
+- Identical output at every level pair — the efficiency number
+  compares equal work, not approximations. Headline legs (pinned 2/8
+  at HEAD's code): n_clusters {head_clusters}; this secondary
+  section's unpinned 4/16 legs (round-2 code): {sec_clusters}
+  (the cross-version delta is the int16 signature change, each
+  protocol internally identical at both levels).
 
 ## VM weather during the legs (why three estimators are reported)
 
