@@ -1334,6 +1334,113 @@ FROM r WHERE rank <= {_ANN_K}
 SQL_EMBEDDING_LSH_TOPK = _ann_oracle_sql()
 
 
+# IVF-flat ANN: data-adaptive counterpart to the hyperplane tables.
+# Centroids are a deterministic function of the corpus (spherical
+# k-means over the sample_cap smallest vec_ids, fixed init + iteration
+# count — similarity.ivf_train), so the oracle can regenerate the SAME
+# centroids from the raw parquet and replay assignment, probe ranking,
+# the cell cap, and the re-rank exactly. Cell scores are sequential
+# left-fold dot products on BOTH engines (similarity._cell_scores vs
+# DuckDB list_dot_product), so argmax/probe tie-breaks agree bit-wise.
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_CELL_CAP = 96
+_IVF_SAMPLE = 4096
+_IVF_ITERS = 8
+_IVF_TOPK = 3
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF production path (similarity.ivf_topk): driver-side bounded
+    deterministic training (the one intentional action inside this
+    query's construction — training IS part of the query's work, and
+    its input is capped at sample_cap rows regardless of corpus size),
+    then codegen'd assignment, cell equi-join, exact cosine re-rank."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = SIM.ivf_centroids(
+        e, k=_IVF_K, sample_cap=_IVF_SAMPLE, iters=_IVF_ITERS
+    )
+    return SIM.ivf_topk(
+        e,
+        cents,
+        k=_IVF_TOPK,
+        nprobe=_IVF_NPROBE,
+        cell_cap=_IVF_CELL_CAP,
+    ).select("src_id", "dst_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The driver contract runs oracles at sf0.01, so the centroid
+    literals are derived from THAT corpus via the same deterministic
+    sample rule and trainer the Spark query uses (smallest vec_ids,
+    float→double cast, ivf_train) — byte-identical inputs ⇒ identical
+    centroids ⇒ the SQL replays the exact partition."""
+    if sf_dir in _IVF_ORACLE_CACHE:
+        return _IVF_ORACLE_CACHE[sf_dir]
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    X = con.execute(
+        f"SELECT embedding::DOUBLE[] FROM "
+        f"'{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id ASC LIMIT {_IVF_SAMPLE}"
+    ).fetchall()
+    con.close()
+    C = SIM.ivf_train(
+        np.array([r[0] for r in X], dtype=np.float64),
+        k=_IVF_K,
+        iters=_IVF_ITERS,
+    )
+    cent_rows = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in C[j])}]::DOUBLE[])"
+        for j in range(len(C))
+    )
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(cell, c)),
+score AS (SELECT e.vec_id, cent.cell,
+                 list_dot_product(e.v, cent.c) AS s
+          FROM e CROSS JOIN cent),
+ranked AS (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS pr
+           FROM score),
+assign AS (SELECT vec_id, cell FROM ranked WHERE pr = 1),
+keep AS (SELECT cell FROM assign GROUP BY cell
+         HAVING count(*) <= {_IVF_CELL_CAP}),
+idx AS (SELECT a.vec_id, a.cell FROM assign a
+        JOIN keep k ON a.cell = k.cell),
+probe AS (SELECT vec_id, cell FROM ranked WHERE pr <= {_IVF_NPROBE}),
+cand AS (SELECT p.vec_id AS src_id, i.vec_id AS dst_id
+         FROM probe p JOIN idx i ON p.cell = i.cell
+         WHERE p.vec_id <> i.vec_id),
+scored AS (SELECT c.src_id, c.dst_id,
+                  CASE WHEN sqrt(list_dot_product(ea.v, ea.v))
+                            * sqrt(list_dot_product(eb.v, eb.v)) > 0
+                       THEN list_dot_product(ea.v, eb.v)
+                            / (sqrt(list_dot_product(ea.v, ea.v))
+                               * sqrt(list_dot_product(eb.v, eb.v)))
+                       ELSE 0.0 END AS cos
+           FROM cand c
+           JOIN e ea ON c.src_id = ea.vec_id
+           JOIN e eb ON c.dst_id = eb.vec_id),
+r AS (SELECT src_id, dst_id, cos,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, dst_id ASC) AS rank
+      FROM scored)
+SELECT src_id, dst_id, rank, round(round(cos, 9), 4) AS cos
+FROM r WHERE rank <= {_IVF_TOPK}
+"""
+    _IVF_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
 def q_extraction_errors(spark, sf_dir):
     """F3 analogue (catch_non_silent.py:84-111 — the validator's
     three-way good / harmless-warning / bad split): error-capturing
@@ -1464,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "suffix_array_spans": q_suffix_array_spans,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "extraction_errors": q_extraction_errors,
         "hex_roundtrip": q_hex_roundtrip,
     }
@@ -1508,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "near_remain_minhash": SQL_NEAR_REMAIN_MINHASH,
         "binary_meta": SQL_BINARY_META,
         "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+        "embedding_ivf_topk": _ivf_oracle_sql(),
         "extraction_errors": SQL_EXTRACTION_ERRORS,
         "hex_roundtrip": SQL_HEX_ROUNDTRIP,
         "suffix_array_spans": SQL_SUFFIX_ARRAY_SPANS,

@@ -216,6 +216,197 @@ def lsh_topk(
     )
 
 
+def ivf_train(X: "np.ndarray", k: int, iters: int = 8) -> "np.ndarray":
+    """Deterministic spherical k-means over a sample matrix (n, dim):
+    unit-normalize, Lloyd-iterate a fixed ``iters`` times from a fixed
+    init (the first k sample rows), renormalize means each step. Pure
+    float64 numpy with sequential-order reductions only where parity
+    matters downstream (the centroids are OUTPUTS consumed as literals,
+    so only determinism matters here, not fold order). Empty cells keep
+    their previous centroid (never NaN). Returns (k, dim) unit rows."""
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("ivf_train: empty sample")
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X[norms > 0] / norms[norms > 0, None]
+    if Xn.shape[0] == 0:
+        raise ValueError("ivf_train: all-zero sample vectors")
+    k = min(k, Xn.shape[0])
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        # argmax cosine == argmax dot (rows and centroids unit-norm);
+        # ties -> smallest cell id (np.argmax takes the first maximum)
+        cell = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[cell == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return C
+
+
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Train IVF centroids from a DETERMINISTIC bounded sample: the
+    ``sample_cap`` rows with the smallest ids. ``orderBy(id).limit(cap)``
+    is a TakeOrdered at any scale (map-side partial top-k, no global
+    sort), and the collect is bounded by sample_cap × dim doubles —
+    driver-safe at 10^12 rows. Seeded random sampling would also be
+    deterministic per Spark partitioning but NOT per cluster layout;
+    smallest-ids is layout-independent, so the oracle can reproduce the
+    exact sample from the raw parquet."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    return ivf_train(X, k=k, iters=iters)
+
+
+def cells_for(n_rows: int, target_cell: int = 256, floor: int = 4) -> int:
+    """Scale the centroid count so mean cell occupancy stays
+    ~target_cell (the IVF analogue of ``planes_for``): a fixed k makes
+    intra-cell candidate work grow quadratically with the corpus."""
+    return max(floor, -(-max(n_rows, 1) // max(target_cell, 1)))
+
+
+def _cell_scores(vec_col: str, centroids: "np.ndarray") -> Column:
+    """Array of dot(v, c_j) per centroid, as codegen'd column math with
+    the SAME left-fold element-order sum as :func:`dot` — bit-identical
+    to DuckDB's sequential list_dot_product, so argmax cells and probe
+    rankings agree across engines even at float ties. Centroids are
+    unit-norm, so ranking by dot ≡ ranking by cosine per vector."""
+    return F.array(
+        *[dot(F.col(vec_col), F.lit(c.tolist())) for c in centroids]
+    )
+
+
+def ivf_assignments(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, probe_rank) — each vector's ``nprobe`` nearest
+    centroid cells, probe_rank 1 = the assignment cell. One codegen'd
+    projection: score every centroid, sort (-score, cell) structs
+    inside the row, slice the first nprobe, explode. No shuffle — the
+    per-row sort replaces the window/row_number shape, which would
+    shuffle n×k score rows on id at corpus scale."""
+    k = len(centroids)
+    nprobe = min(nprobe, k)
+    scored = F.transform(
+        _cell_scores(vec_col, centroids),
+        lambda s, j: F.struct((-s).alias("neg"), j.alias("cell")),
+    )
+    top = F.slice(F.array_sort(scored), 1, nprobe)
+    return (
+        df.select(F.col(id_col), F.posexplode(top).alias("pos", "e"))
+        .select(
+            id_col,
+            F.col("e.cell").cast("int").alias("cell"),
+            (F.col("pos") + 1).alias("probe_rank"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    k: int = 5,
+    nprobe: int = 2,
+    cell_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope: "CacheScope | None" = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the data-ADAPTIVE counterpart to
+    :func:`lsh_topk` (centroids follow the corpus's density, so cells
+    are balanced where hyperplane buckets are occupancy-lottery).
+    Candidates = vectors whose assignment cell is among the query's
+    nprobe nearest cells; exact cosine re-rank within candidates.
+
+    Scale shape: training is driver-side over a bounded deterministic
+    sample (``ivf_centroids``); assignment + probe are ONE codegen'd
+    projection (k×dim fused multiply-adds per row — at k beyond a few
+    hundred, swap ``_cell_scores`` for an Arrow-batched matmul UDF and
+    accept engine-specific float ties); candidate generation is an
+    equi-join on a dense int cell id. Each dst sits in exactly one
+    cell and a query's probe cells are distinct, so a candidate pair
+    is emitted at most once — no distinct() pass, unlike the
+    multi-table LSH union. Over-cap cells (degenerate embedding farms)
+    are EXCLUDED from the index side with accounting
+    (``ivf_cell_stats``), same honesty policy as lsh_topk; pair with
+    ``cells_for`` so caps only trigger on true degeneracy."""
+    probes = ivf_assignments(
+        df, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+    if scope is not None:
+        probes = scope.cache(probes)
+    assign = probes.filter(F.col("probe_rank") == 1)
+    kept = (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("cell_n"))
+        .filter(F.col("cell_n") <= cell_cap)
+        .select("cell")
+    )
+    index = assign.join(kept, "cell").select(
+        F.col(id_col).alias("dst_id"), "cell"
+    )
+    probe = probes.select(F.col(id_col).alias("src_id"), "cell")
+    cands = (
+        probe.join(index, "cell")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+    )
+    va = df.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("dst_id"), F.col(vec_col).alias("vb"))
+    scored = (
+        cands.join(va, "src_id")
+        .join(vb, "dst_id")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("dst_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", F.round("cos", 9).alias("cos"), "rank")
+    )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    cell_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Accounting for capped IVF cells: per-cell size and whether
+    ivf_topk excluded it from the index side."""
+    return (
+        ivf_assignments(df, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("cell_n"))
+        .select(
+            "cell", "cell_n", (F.col("cell_n") > cell_cap).alias("dropped")
+        )
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     dim: int,
