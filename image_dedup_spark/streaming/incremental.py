@@ -47,6 +47,78 @@ def incremental_exact_dedup_stream(
     )
 
 
+def dedup_rate_windows(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Crawl-health monitoring: per event-time window, how duplicated is
+    the incoming stream? ``withWatermark`` bounds the aggregation state
+    (windows older than max(event_time) - watermark are finalized and
+    their state dropped; later-arriving rows for them are discarded —
+    the late-data contract), so this runs forever on an unbounded crawl
+    feed. Distinct counting uses HyperLogLog++
+    (``approx_count_distinct``) because exact distinct aggregation is
+    unsupported — and unaffordable — in streaming state; the dup-rate
+    trend is a monitoring signal, not an accounting number. Pair with
+    ``outputMode("update")`` + a dashboard sink, or ``append`` + files
+    (rows emit once per finalized window)."""
+    return (
+        stream.withColumn("exact_key", EX.exact_key(F.col("text")))
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct("exact_key").alias("n_unique"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "n_unique",
+            (1 - F.col("n_unique") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
+def first_seen_filter(stream: DataFrame, key_col: str = "exact_key") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit
+    each key's first-seen row (min doc_id within the first batch that
+    carries the key), suppress every later occurrence — exact dedup as
+    an explicit state machine rather than ``dropDuplicates``'s built-in
+    state. The shape to copy for operators Spark has no built-in for
+    (per-key quotas, first-k sampling, session stitching): state is a
+    tiny typed tuple per key, the group's batch rows arrive as Arrow
+    pandas frames, and emitted state lives in the checkpoint across
+    restarts. NoTimeout = state is corpus identity (same contract as
+    ``incremental_exact_dedup_stream``); swap in a processing-time
+    timeout for TTL'd keys. Per-key per-batch rows are concatenated to
+    pick the deterministic min — bounded by a key's volume inside ONE
+    micro-batch, not by history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = stream.columns
+    out_schema = stream.schema
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            return
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        state.update((True,))
+        if len(batch):
+            first = batch.sort_values("doc_id").iloc[[0]]
+            yield first[cols]
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        "seen boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_near_merge(
     spark: SparkSession,
     batch: DataFrame,

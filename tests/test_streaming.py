@@ -46,3 +46,107 @@ def test_incremental_near_merge_fold(spark, tmp_path_factory):
     assert incremental_near_merge(spark, b2, acc) == 1  # only doc 3 appended
     ids = sorted(r.doc_id for r in spark.read.parquet(acc).collect())
     assert ids == [1, 3]
+
+
+TS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_dedup_rate_windows_drops_late_rows(spark, tmp_path_factory):
+    """Watermark contract across a checkpointed restart: run 1 advances
+    the watermark; run 2 delivers a row older than it, which must be
+    DROPPED (its window never appears) while on-time rows aggregate."""
+    from image_dedup_spark.streaming.incremental import dedup_rate_windows
+
+    root = tmp_path_factory.mktemp("wm")
+    inp, ckpt = str(root / "in"), str(root / "ckpt")
+    got = []
+
+    def run_once():
+        stream = spark.readStream.schema(TS_SCHEMA).parquet(inp)
+        q = (
+            dedup_rate_windows(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01 10:00:00"), "aaa"),
+            (2, _ts("2026-01-01 10:02:00"), "aaa"),
+        ],
+        TS_SCHEMA,
+    ).write.mode("append").parquet(inp)
+    run_once()  # watermark after run 1: 10:02 - 5 min = 09:57
+
+    spark.createDataFrame(
+        [
+            (3, _ts("2026-01-01 10:20:00"), "bbb"),
+            (4, _ts("2026-01-01 09:40:00"), "late"),  # < watermark: drop
+        ],
+        TS_SCHEMA,
+    ).write.mode("append").parquet(inp)
+    run_once()
+
+    by_window = {}
+    for r in got:  # update mode: keep the last emission per window
+        by_window[r.window_start] = r
+    starts = sorted(by_window)
+    assert [s.minute for s in starts] == [0, 20]  # no 09:40 window
+    w0 = by_window[starts[0]]
+    assert (w0.n_docs, w0.n_unique) == (2, 1)
+    assert abs(w0.dup_rate - 0.5) < 1e-9
+    assert by_window[starts[1]].n_docs == 1
+
+
+def test_first_seen_filter_state_survives_restart(spark, tmp_path_factory):
+    """applyInPandasWithState: a key emitted in run 1 must stay
+    suppressed in run 2 (state lives in the checkpoint), and within a
+    batch the min-doc_id row wins deterministically."""
+    from image_dedup_spark.streaming.incremental import first_seen_filter
+
+    root = tmp_path_factory.mktemp("state")
+    inp, ckpt = str(root / "in"), str(root / "ckpt")
+    got = []
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(inp).withColumn(
+            "exact_key", F.sha2(F.col("text"), 256)
+        )
+        q = (
+            first_seen_filter(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(7, "aaa"), (2, "aaa"), (5, "bbb")], SCHEMA
+    ).write.mode("append").parquet(inp)
+    run_once()
+
+    spark.createDataFrame(
+        [(9, "aaa"), (1, "ccc")], SCHEMA
+    ).write.mode("append").parquet(inp)
+    run_once()
+
+    ids = sorted(r.doc_id for r in got)
+    assert ids == [1, 2, 5]  # min doc_id per key, "aaa" only from run 1
