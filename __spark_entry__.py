@@ -852,6 +852,18 @@ SQL_MINHASH_LSH_PAIRS = (
 )
 
 
+def q_minhash_hybrid_pairs(spark, sf_dir):
+    """D2 scale path, hybrid verify: the estimate prefilter rejects
+    candidates below threshold - hybrid_delta from the slim signature
+    join; sketches are joined only onto the remainder for the exact
+    verdict. Same truth oracle as the exact mode — sound because the
+    final predicate IS exact Jaccard; complete iff LSH recall is 1.0
+    AND no true pair's estimate falls below threshold - delta, both of
+    which this oracle run itself verifies on this corpus."""
+    fp = _fingerprints(spark, sf_dir)
+    return LSH.minhash_dup_pairs(fp, DEFAULT, mode="hybrid")
+
+
 def q_bruteforce_jaccard_pairs(spark, sf_dir):
     """Reference-exact O(n²) oracle path (samples.cpp:580-633)."""
     fp = _fingerprints(spark, sf_dir)
@@ -1560,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production paths (ALL oracled; see the section comment above
         # q_minhash_lsh_pairs)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_hybrid_pairs": q_minhash_hybrid_pairs,
         "simhash_pairs": q_simhash_pairs,
         "bruteforce_jaccard_pairs": q_bruteforce_jaccard_pairs,
         "cdc_substring_pairs": q_cdc_substring_pairs,
@@ -1606,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "minhash_hybrid_pairs": SQL_MINHASH_LSH_PAIRS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "bruteforce_jaccard_pairs": SQL_BRUTEFORCE_JACCARD,
         "cdc_substring_pairs": SQL_CDC_SUBSTRING_PAIRS,

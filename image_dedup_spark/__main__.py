@@ -103,7 +103,7 @@ def cmd_gen_fp(spark, a):
 
 def cmd_dedup_near(spark, a):
     fp = _read(spark, a.input)
-    if a.verify == "exact":
+    if a.verify in ("exact", "hybrid"):
         # Fail fast on a fingerprint table written without --sketch:
         # store_sketch=False emits empty shingle arrays while n_shingles
         # keeps the true count, so exact-Jaccard verify would silently
@@ -115,9 +115,9 @@ def cmd_dedup_near(spark, a):
         )
         if bad:
             raise SystemExit(
-                "dedup_near --verify exact needs shingle sketches, but the "
-                "input fingerprint table has empty 'shingles' arrays (it was "
-                "written by gen_fp without --sketch). Regenerate with "
+                "dedup_near --verify exact/hybrid needs shingle sketches, but "
+                "the input fingerprint table has empty 'shingles' arrays (it "
+                "was written by gen_fp without --sketch). Regenerate with "
                 "gen_fp --sketch, or use --verify estimate."
             )
     mh = LSH.minhash_dup_pairs(fp, DEFAULT, mode=a.verify)
@@ -237,7 +237,7 @@ def main(argv=None):
     sp.add_argument("--input", required=True, help="fingerprint table")
     sp.add_argument("--output", required=True)
     sp.add_argument("--pairs")
-    sp.add_argument("--verify", default="estimate", choices=["exact", "estimate"])
+    sp.add_argument("--verify", default="estimate", choices=["exact", "estimate", "hybrid"])
     sp.set_defaults(fn=cmd_dedup_near)
 
     sp = sub.add_parser("merge")
@@ -263,7 +263,7 @@ def main(argv=None):
     sp.add_argument("--output", required=True)
     sp.add_argument("--checkpoint-dir")
     sp.add_argument("--substring", action="store_true")
-    sp.add_argument("--verify", default="exact", choices=["exact", "estimate"])
+    sp.add_argument("--verify", default="exact", choices=["exact", "estimate", "hybrid"])
     sp.add_argument(
         "--sequential",
         action="store_true",

@@ -43,6 +43,15 @@ class DedupConfig:
     # (round 2); 32→16 was A/B'd in BENCH/ANALYSIS_r4.md §9 and is
     # shipped here AT WRITE TIME, the form that section prescribes.
     minhash_bits: int = 16
+    # Hybrid verify (verify_pairs mode='hybrid'): candidates whose
+    # signature-agreement estimate falls below jaccard_threshold -
+    # hybrid_delta are rejected WITHOUT touching sketches; the rest get
+    # the exact sketch verify. Miss probability for a true pair
+    # (J >= threshold) is Hoeffding-bounded by exp(-2·delta²·num_hashes)
+    # — 0.2 with k=128 gives 3.6e-5, far below the 0.99 recall target's
+    # slack — while the wide sketch join's input shrinks from ALL
+    # candidates to near-and-above-threshold candidates only.
+    hybrid_delta: float = 0.2
 
     # --- SimHash ---------------------------------------------------------
     simhash_bits: int = 256         # 4 x 64-bit words (array<long>)

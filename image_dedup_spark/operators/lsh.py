@@ -24,6 +24,8 @@ lower-triangle ``i > j`` (samples.cpp:603-633) with deterministic ids.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -249,6 +251,18 @@ def verify_pairs(
                      reference's exact Hamming verify (samples.cpp:616-621).
     mode='estimate': fraction of equal minhash components (cheaper at
                      scale; no sketch shuffle).
+    mode='hybrid'  : estimate as a prefilter, exact as the verdict —
+                     candidates with estimate < threshold - cfg.hybrid_delta
+                     are rejected from the slim signature join alone; the
+                     wide sketch join runs only on the near-and-above-
+                     threshold remainder, so its input is ~the output size
+                     instead of the candidate count. Output ⊆ exact-mode
+                     output by construction (same final predicate on the
+                     same sketches); a true pair escapes the prefilter with
+                     probability ≤ exp(-2·delta²·num_hashes) (Hoeffding;
+                     3.6e-5 at the defaults) — quantified in
+                     BENCH/ANALYSIS_r4.md §16-17. Requires fingerprints to
+                     carry BOTH `minhash` and `shingles`.
 
     The cheap prefilter before the exact verify is the analogue of the
     reference's popcount prefilter (samples.cpp:584-585): J >= t requires
@@ -275,6 +289,25 @@ def verify_pairs(
         F.least("a_n_shingles", "b_n_shingles")
         >= F.greatest("a_n_shingles", "b_n_shingles") * cfg.jaccard_threshold
     )
+    if mode == "hybrid":
+        # Phase 1: the estimate-mode slim join, thresholded at
+        # (threshold - delta) — rejects the candidate bulk without any
+        # sketch traffic. Phase 2: the exact verdict on the remainder
+        # (the same two-phase shape as mode='exact', but its input is
+        # the estimate's survivors, not all candidates).
+        survivors = verify_pairs(
+            pairs,
+            fingerprints.drop("shingles"),
+            replace(
+                cfg,
+                jaccard_threshold=max(
+                    0.0, cfg.jaccard_threshold - cfg.hybrid_delta
+                ),
+            ),
+            mode="estimate",
+        ).select("src_id", "dst_id")
+        exact = verify_pairs(survivors, fingerprints, cfg, mode="exact")
+        return exact
     if mode == "exact":
         slim = fingerprints.select("doc_id", "n_shingles")
         pre = (

@@ -209,7 +209,7 @@ def run_pipeline(
         lambda: EX.survivors_from_labels(filtered, exact_labels),
     )
 
-    fp_udf = make_fingerprint_udf(cfg, store_sketch=(verify_mode == "exact"))
+    fp_udf = make_fingerprint_udf(cfg, store_sketch=(verify_mode in ("exact", "hybrid")))
     # Repartition before the Arrow UDF: the stage is CPU-bound, so its
     # width must track cores, not the byte size AQE saw upstream.
     n_par = spark.sparkContext.defaultParallelism * 2

@@ -59,23 +59,34 @@ def main() -> None:
     verify_mode = os.environ.get("SPARK_GRAFT_VERIFY_MODE", "estimate")
     exact_labels = EX.labels(docs).localCheckpoint(eager=True)
     surv = EX.survivors_from_labels(docs, exact_labels)
-    fp_udf = make_fingerprint_udf(DEFAULT, store_sketch=verify_mode == "exact")
+    need_sketch = verify_mode in ("exact", "hybrid")
+    fp_udf = make_fingerprint_udf(DEFAULT, store_sketch=need_sketch)
     n_par = spark.sparkContext.defaultParallelism * 2
     fp_cols = ["fp.minhash", "fp.simhash", "fp.n_shingles"] + (
-        ["fp.shingles"] if verify_mode == "exact" else []
+        ["fp.shingles"] if need_sketch else []
     )
-    fp = (
+    # Parquet (not localCheckpoint) so downstream joins COLUMN-PRUNE:
+    # the wide `shingles` sketch must not ride the slim signature scans
+    # when only hybrid phase 2 / exact verify reads it (bench.py shape).
+    import tempfile
+
+    fp_dir = tempfile.mkdtemp(prefix="truth_recall_fp_")
+    (
         surv.repartition(n_par)
         .select("doc_id", fp_udf(F.col("text")).alias("fp"))
         .select("doc_id", *fp_cols)
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(fp_dir)
     )
+    fp = spark.read.parquet(fp_dir)
+    t_pairs = time.monotonic()
     with CacheScope() as scope:
         near_pairs = (
             LSH.minhash_dup_pairs(fp, DEFAULT, mode=verify_mode, scope=scope)
             .unionByName(SB.simhash_dup_pairs(fp, DEFAULT, scope=scope))
             .localCheckpoint(eager=True)
         )
+    pairs_s = round(time.monotonic() - t_pairs, 1)
     clusters = CC.assign_clusters_via_labels(
         None, exact_labels, near_pairs, DEFAULT
     ).localCheckpoint(eager=True)
@@ -149,6 +160,7 @@ def main() -> None:
     out = {
         "n_docs": n_docs,
         "verify_mode": verify_mode,
+        "pair_stage_s": pairs_s,
         "truth_pairs": n,
         "recovered": hits,
         "truth_recall": round(hits / n, 4) if n else None,
@@ -167,6 +179,9 @@ def main() -> None:
         "wall_s": round(time.monotonic() - t0, 1),
     }
     print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(fp_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

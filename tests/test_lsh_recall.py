@@ -139,3 +139,29 @@ def test_candidate_pairs_star_false_drops_overcap_buckets(spark):
         for r in LSH.bucket_stats(bands, small_cfg, star=False).collect()
     }
     assert s[111].starred and s[111].pairs_dropped == 40 * 39 // 2
+
+
+def test_hybrid_verify_matches_exact(spark, fingerprints):
+    """mode='hybrid' must equal mode='exact' on the fixture (the
+    estimate prefilter at threshold-delta loses a true pair only with
+    probability exp(-2·delta²·128) ≈ 3.6e-5), and must be a subset of
+    exact by construction at ANY delta (same final predicate on the
+    same sketches)."""
+    from dataclasses import replace
+
+    fp = EX.survivors(fingerprints).cache()
+    exact = {
+        (r.src_id, r.dst_id, round(r.score, 9))
+        for r in LSH.minhash_dup_pairs(fp, mode="exact").collect()
+    }
+    hybrid = {
+        (r.src_id, r.dst_id, round(r.score, 9))
+        for r in LSH.minhash_dup_pairs(fp, mode="hybrid").collect()
+    }
+    assert hybrid == exact
+    tight = replace(DEFAULT, hybrid_delta=0.02)
+    tight_pairs = {
+        (r.src_id, r.dst_id, round(r.score, 9))
+        for r in LSH.minhash_dup_pairs(fp, tight, mode="hybrid").collect()
+    }
+    assert tight_pairs <= exact
