@@ -154,3 +154,22 @@ def test_pipeline_refuses_cross_mode_resume(spark, corpus, tmp_path_factory):
     # same mode still resumes cleanly
     r = run_pipeline(spark, pages, checkpoint_dir=root)
     assert all(m["resumed"] for m in r.metrics)
+
+
+def test_pipeline_hybrid_verify_matches_exact(spark, corpus):
+    """run_pipeline(verify_mode='hybrid') must produce the same cluster
+    table as the default exact verify (hybrid's prefilter loses a true
+    pair with probability exp(-2·0.2²·128) ≈ 3.6e-5 — zero expected on
+    this corpus), exercising the sketch-storing gate end-to-end."""
+    pages, _ = corpus
+    exact = {
+        (r.doc_id, r.cluster_id)
+        for r in run_pipeline(spark, pages).clusters.collect()
+    }
+    hybrid = {
+        (r.doc_id, r.cluster_id)
+        for r in run_pipeline(
+            spark, pages, verify_mode="hybrid"
+        ).clusters.collect()
+    }
+    assert hybrid == exact
