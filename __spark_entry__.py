@@ -39,6 +39,8 @@ from image_dedup_spark.operators import similarity as SIM
 from image_dedup_spark.operators import simhash_block as SB
 from image_dedup_spark.operators import substring as SUB
 from image_dedup_spark.operators import crosscorpus as XC
+from image_dedup_spark.operators import repetition as REP
+from image_dedup_spark.operators import webcrawl as WC
 from image_dedup_spark.plans.pipeline import run_pipeline
 
 # ---------------------------------------------------------------------------
@@ -1541,6 +1543,188 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl-identity + repetition operators (operators/webcrawl.py,
+# operators/repetition.py) — Common-Crawl-style surfaces over the
+# documents table. The page view is synthesized deterministically from
+# (doc_id, source): url groups ~docs sharing (source, doc_id % 40) so
+# recrawl collapse has real work; warc_ts_s = 1700000000 + doc_id
+# (BIGINT seconds — strictly increasing, so "latest capture" == max
+# doc_id per url, which is what the oracles assert from first
+# principles while the Spark side runs the real operators).
+# ---------------------------------------------------------------------------
+
+def _pages_view(spark, sf_dir):
+    """documents -> (doc_id, url, warc_ts_s, text, lang, source)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("url"),
+        (F.lit(1_700_000_000) + F.col("doc_id")).alias("warc_ts_s"),
+        "text",
+        "lang",
+        "source",
+    )
+
+
+def q_latest_capture(spark, sf_dir):
+    """Recrawl collapse: one surviving capture per url — the row with
+    the greatest (warc_ts_s, doc_id), full row via struct-max (no
+    window, no join-back). operators/webcrawl.latest_capture."""
+    pages = _pages_view(spark, sf_dir)
+    won = WC.latest_capture(pages, key_col="url", ts_col="warc_ts_s")
+    return won.select("url", "doc_id", "warc_ts_s", F.length("text").alias("n_chars"))
+
+
+SQL_LATEST_CAPTURE = """
+WITH p AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/p' || CAST(doc_id % 40 AS VARCHAR) AS url,
+         1700000000 + doc_id AS warc_ts_s,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT url,
+       arg_max(doc_id, warc_ts_s) AS doc_id,
+       max(warc_ts_s) AS warc_ts_s,
+       arg_max(n_chars, warc_ts_s) AS n_chars
+FROM p GROUP BY url
+"""
+
+
+def q_url_dedup_normalized(spark, sf_dir):
+    """URL canonicalization + canonical-url dedup: four messy variants
+    (scheme/case, www + trailing slash, utm tracking param, fragment)
+    are built per doc, the REAL regexp normalizer collapses them, and
+    the latest capture per canonical url survives. The oracle
+    constructs the expected canonical form directly — ground truth for
+    the normalizer, not a replay of it."""
+    pages = _pages_view(spark, sf_dir)
+    base = F.concat(
+        F.col("source"), F.lit(".example.com/q"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://www."), base, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .otherwise(F.concat(F.lit("HTTPS://"), base, F.lit("#section-2")))
+    )
+    won = WC.url_dedup(
+        pages.withColumn("url", messy), ts_col="warc_ts_s"
+    )
+    return won.select("canonical_url", "doc_id", "warc_ts_s")
+
+
+SQL_URL_DEDUP = """
+WITH p AS (
+  SELECT doc_id,
+         source || '.example.com/q' || CAST(doc_id % 50 AS VARCHAR) AS canonical_url,
+         1700000000 + doc_id AS warc_ts_s
+  FROM documents
+)
+SELECT canonical_url,
+       arg_max(doc_id, warc_ts_s) AS doc_id,
+       max(warc_ts_s) AS warc_ts_s
+FROM p GROUP BY canonical_url
+"""
+
+
+def q_host_stats(spark, sf_dir):
+    """Host-level rollup via the real host_of() regex over the
+    synthesized urls; the oracle derives the host from source
+    directly."""
+    pages = _pages_view(spark, sf_dir)
+    return WC.host_stats(pages, ts_col="warc_ts_s")
+
+
+SQL_HOST_STATS = """
+WITH p AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         'https://' || source || '.example.com/p' || CAST(doc_id % 40 AS VARCHAR) AS url,
+         1700000000 + doc_id AS warc_ts_s,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT host,
+       count(*) AS n_pages,
+       count(DISTINCT url) AS n_urls,
+       sum(n_chars) AS total_text_chars,
+       max(warc_ts_s) AS latest_ts
+FROM p GROUP BY host
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals — shuffle-free
+    (sorted-run-length maxima inside whole-stage codegen); the oracle
+    computes the same modal counts by unnest + GROUP BY."""
+    return REP.repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, max(c) AS top_token_count FROM (
+    SELECT t.doc_id, count(*) AS c
+    FROM t, unnest(t.toks) AS u(tok)
+    GROUP BY t.doc_id, u.tok
+  ) GROUP BY doc_id
+), big AS (
+  SELECT doc_id, max(c) AS top_bigram_count FROM (
+    SELECT t.doc_id, count(*) AS c
+    FROM t, unnest(range(1, len(t.toks))) AS g(i)
+    GROUP BY t.doc_id, t.toks[g.i::int] || ' ' || t.toks[g.i::int + 1]
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens,
+       len(list_distinct(t.toks)) AS n_distinct_tokens,
+       round(1.0 - len(list_distinct(t.toks)) * 1.0 / greatest(len(t.toks), 1), 6)
+         AS dup_token_frac,
+       coalesce(tok.top_token_count, 0) AS top_token_count,
+       coalesce(big.top_bigram_count, 0) AS top_bigram_count,
+       round(coalesce(big.top_bigram_count, 0) * 2.0 / greatest(len(t.toks), 1), 6)
+         AS top_bigram_frac
+FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN big USING (doc_id)
+"""
+
+
+def q_frequent_shingle_docs(spark, sf_dir):
+    """C4-style corpus-frequency boilerplate exposure per doc: distinct
+    word-5-gram shingles shared by >= 2 distinct docs, counted back
+    per doc. Oracle mode keeps shingle STRINGS as the join key so the
+    DuckDB twin groups on the identical key; the scale path hashes
+    them to 8-byte keys (hash_shingles=True, pytest-pinned equal)."""
+    return REP.frequent_shingle_doc_counts(
+        _docs(spark, sf_dir), width=5, min_docs=2, hash_shingles=False
+    )
+
+
+SQL_FREQUENT_SHINGLE_DOCS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT t.doc_id,
+         t.toks[g.i::int] || ' ' || t.toks[g.i::int + 1] || ' ' ||
+         t.toks[g.i::int + 2] || ' ' || t.toks[g.i::int + 3] || ' ' ||
+         t.toks[g.i::int + 4] AS sh
+  FROM t, unnest(range(1, len(t.toks) - 3)) AS g(i)
+), f AS (
+  SELECT sh, count(*) AS n_docs FROM s GROUP BY sh HAVING count(*) >= 2
+)
+SELECT s.doc_id,
+       count(*) AS n_frequent_shingles,
+       max(f.n_docs) AS max_shingle_docs
+FROM s JOIN f USING (sh)
+GROUP BY s.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_survivors": q_exact_dedup_survivors,
@@ -1587,6 +1771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "extraction_errors": q_extraction_errors,
         "hex_roundtrip": q_hex_roundtrip,
+        # crawl-identity + repetition surfaces (round 4, session 4)
+        "latest_capture": q_latest_capture,
+        "url_dedup_normalized": q_url_dedup_normalized,
+        "host_stats": q_host_stats,
+        "repetition_stats": q_repetition_stats,
+        "frequent_shingle_docs": q_frequent_shingle_docs,
     }
 
 
@@ -1634,4 +1824,9 @@ def oracle_sql() -> dict[str, str]:
         "extraction_errors": SQL_EXTRACTION_ERRORS,
         "hex_roundtrip": SQL_HEX_ROUNDTRIP,
         "suffix_array_spans": SQL_SUFFIX_ARRAY_SPANS,
+        "latest_capture": SQL_LATEST_CAPTURE,
+        "url_dedup_normalized": SQL_URL_DEDUP,
+        "host_stats": SQL_HOST_STATS,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "frequent_shingle_docs": SQL_FREQUENT_SHINGLE_DOCS,
     }

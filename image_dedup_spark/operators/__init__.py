@@ -5,9 +5,11 @@ from image_dedup_spark.operators import (
     exact,
     lsh,
     quality,
+    repetition,
     similarity,
     simhash_block,
     substring,
+    webcrawl,
 )
 
 __all__ = [
@@ -17,7 +19,9 @@ __all__ = [
     "exact",
     "lsh",
     "quality",
+    "repetition",
     "similarity",
     "simhash_block",
     "substring",
+    "webcrawl",
 ]

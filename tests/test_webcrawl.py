@@ -1,0 +1,224 @@
+"""Crawl-identity operators (operators/webcrawl.py) and repetition /
+boilerplate signals (operators/repetition.py)."""
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from image_dedup_spark.operators import repetition as REP
+from image_dedup_spark.operators import webcrawl as WC
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+NORMALIZE_CASES = [
+    ("https://a.example.com/p1", "a.example.com/p1"),
+    ("HTTP://WWW.A.Example.com/p1/", "a.example.com/p1"),
+    ("https://a.example.com/p1?utm_source=feed&utm_medium=rss",
+     "a.example.com/p1"),
+    ("https://a.example.com/p1#frag", "a.example.com/p1"),
+    # utm in the middle of a kept query: separator repair must re-anchor
+    # the query at the FIRST orphaned '&'
+    ("https://a.example.com/p1?utm_source=x&id=7&sort=asc",
+     "a.example.com/p1?id=7&sort=asc"),
+    ("https://a.example.com/p1?id=7&utm_campaign=x&sort=asc",
+     "a.example.com/p1?id=7&sort=asc"),
+    # bare host, trailing slash only
+    ("www.b.example.com/", "b.example.com"),
+    # fragment before query params is stripped whole
+    ("https://c.example.com/x?a=1#frag?utm_source=z",
+     "c.example.com/x?a=1"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(NORMALIZE_CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", WC.normalize_url(F.col("url")).alias("n")).collect()
+    }
+    for i, (raw, want) in enumerate(NORMALIZE_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+HOST_CASES = [
+    ("https://www.a.example.com:8080/path?q=1", "a.example.com"),
+    ("http://b.example.com/x", "b.example.com"),
+    ("c.example.com", "c.example.com"),
+    ("https://d.example.com#f", "d.example.com"),
+]
+
+
+def test_host_of_cases(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(HOST_CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", WC.host_of(F.col("url")).alias("h")).collect()
+    }
+    for i, (u, want) in enumerate(HOST_CASES):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+# --------------------------------------------------------------------------
+# latest_capture
+# --------------------------------------------------------------------------
+
+def test_latest_capture_keeps_max_ts_full_row(spark):
+    rows = [
+        # (doc_id, url, ts, payload)
+        (1, "u1", 100, "a"),
+        (2, "u1", 300, "b"),   # winner for u1
+        (3, "u1", 200, "c"),
+        (4, "u2", 50, "d"),    # only capture
+        (5, "u3", 70, "e"),
+        (6, "u3", 70, "f"),    # ts tie -> max doc_id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long, payload string")
+    got = {
+        r["url"]: (r["doc_id"], r["warc_ts"], r["payload"])
+        for r in WC.latest_capture(df, key_col="url", ts_col="warc_ts").collect()
+    }
+    assert got == {
+        "u1": (2, 300, "b"),
+        "u2": (4, 50, "d"),
+        "u3": (6, 70, "f"),
+    }
+    # schema/column order preserved
+    out = WC.latest_capture(df, key_col="url", ts_col="warc_ts")
+    assert out.columns == df.columns
+
+
+def test_url_dedup_collapses_variants(spark):
+    rows = [
+        (1, "https://a.example.com/p", 10, "x"),
+        (2, "http://www.a.example.com/p/", 20, "y"),       # same page, newer
+        (3, "https://a.example.com/p?utm_source=s", 15, "z"),
+        (4, "https://b.example.com/q", 5, "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long, t string")
+    got = {
+        r["canonical_url"]: r["doc_id"]
+        for r in WC.url_dedup(df, ts_col="warc_ts").collect()
+    }
+    assert got == {"a.example.com/p": 2, "b.example.com/q": 4}
+
+
+def test_host_stats(spark):
+    rows = [
+        (1, "https://a.example.com/p1", 10, "xx"),
+        (2, "https://www.a.example.com/p2", 30, "yyy"),
+        (3, "https://a.example.com/p1", 20, "z"),     # same url recrawl
+        (4, "http://b.example.com/q", 5, "wwww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long, text string")
+    got = {
+        r["host"]: (r["n_pages"], r["n_urls"], r["total_text_chars"], r["latest_ts"])
+        for r in WC.host_stats(df, ts_col="warc_ts").collect()
+    }
+    # n_urls counts RAW url spellings (docs 1 and 3 share p1; the www.
+    # p2 variant is distinct) — host_stats rolls up the crawl as-is;
+    # canonicalize first for canonical counts
+    assert got == {
+        "a.example.com": (3, 2, 6, 30),
+        "b.example.com": (1, 1, 4, 5),
+    }
+
+
+# --------------------------------------------------------------------------
+# repetition_stats — run-length maxima vs a Python Counter oracle
+# --------------------------------------------------------------------------
+
+REP_DOCS = [
+    (0, "a b c d e"),                    # all distinct
+    (1, "a a a a"),                      # one token repeated; bigram 'a a' x3
+    (2, "x y x y x"),                    # bigrams: 'x y' x2, 'y x' x2
+    (3, "w"),                            # single token, no bigrams
+    (4, "p q p q p q p"),                # 'p q' x3
+]
+
+
+def _py_rep(text: str):
+    toks = text.split()
+    bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+    return {
+        "n_tokens": len(toks),
+        "n_distinct_tokens": len(set(toks)),
+        "top_token_count": max(Counter(toks).values()) if toks else 0,
+        "top_bigram_count": max(Counter(bigrams).values()) if bigrams else 0,
+    }
+
+
+def test_repetition_stats_matches_counter_oracle(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in REP.repetition_stats(df).collect()}
+    for doc_id, text in REP_DOCS:
+        want = _py_rep(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id], want)
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[4]["top_bigram_frac"] == pytest.approx(6 / 7, abs=1e-6)
+
+
+def test_repetition_stats_on_corpus_matches_exploded_shape(spark, corpus):
+    """The shuffle-free sorted-run-length path equals the canonical
+    explode -> groupBy shape on the real synthetic corpus."""
+    pages, _ = corpus
+    docs = pages.select("doc_id", "text").filter(F.length("text") > 0).limit(300)
+    fast = {
+        r["doc_id"]: (r["top_token_count"], r["top_bigram_count"])
+        for r in REP.repetition_stats(docs).collect()
+    }
+    toks = F.split(F.col("text"), r"\s+")
+    exploded = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top"))
+    )
+    slow_tok = {r["doc_id"]: r["top"] for r in exploded.collect()}
+    for d, (tt, _) in fast.items():
+        assert tt == slow_tok[d], d
+
+
+# --------------------------------------------------------------------------
+# frequent shingles — hashed scale path ≡ string oracle path
+# --------------------------------------------------------------------------
+
+def test_frequent_shingle_counts_hash_eq_string(spark, corpus):
+    pages, _ = corpus
+    docs = pages.select("doc_id", "text").filter(F.length("text") > 0).limit(400)
+    a = {
+        (r["doc_id"], r["n_frequent_shingles"], r["max_shingle_docs"])
+        for r in REP.frequent_shingle_doc_counts(
+            docs, hash_shingles=False
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_frequent_shingles"], r["max_shingle_docs"])
+        for r in REP.frequent_shingle_doc_counts(
+            docs, hash_shingles=True
+        ).collect()
+    }
+    assert a == b
+    assert a, "corpus has planted duplicate structure; expected hits"
+
+
+def test_frequent_shingles_small_case(spark):
+    rows = [
+        (0, "one two three four five six"),
+        (1, "zz one two three four five yy"),   # shares 2 shingles with doc 0
+        (2, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    freq = {
+        r["shingle"]: r["n_docs"]
+        for r in REP.frequent_shingles(df, hash_shingles=False).collect()
+    }
+    # the only 5-gram present in >= 2 docs
+    assert freq == {"one two three four five": 2}
