@@ -1725,6 +1725,33 @@ GROUP BY s.doc_id
 """
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """LM-budget token counting: GPT-2-style merge-free pretokenization
+    (functions/text.bpe_tokens — pure JVM regexp_extract_all, no UDF);
+    the oracle runs the same RE2/Java-common pattern in DuckDB."""
+    toks = TXT.bpe_tokens(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        F.array_max(F.transform(toks, F.length)).alias("max_bpe_len"),
+    )
+
+
+_BPE_SQL_PAT = TXT.BPE_ISH_PATTERN.replace("'", "''")
+SQL_BPE_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_SQL_PAT}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_distinct_bpe,
+       list_max(list_transform(toks, t -> length(t))) AS max_bpe_len
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_survivors": q_exact_dedup_survivors,
@@ -1777,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "repetition_stats": q_repetition_stats,
         "frequent_shingle_docs": q_frequent_shingle_docs,
+        "bpe_token_stats": q_bpe_token_stats,
     }
 
 
@@ -1829,4 +1857,5 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": SQL_HOST_STATS,
         "repetition_stats": SQL_REPETITION_STATS,
         "frequent_shingle_docs": SQL_FREQUENT_SHINGLE_DOCS,
+        "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     }

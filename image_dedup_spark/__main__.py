@@ -182,6 +182,38 @@ def cmd_remain(spark, a):
     _write(XC.near_remain(src, src, gal, DEFAULT), a.output)
 
 
+def cmd_urlcollapse(spark, a):
+    """Recrawl collapse: latest capture per (canonical) url — the crawl
+    front-door before any content dedup (operators/webcrawl.py)."""
+    from image_dedup_spark.operators import webcrawl as WCR
+
+    pages = _read(spark, a.input)
+    if a.normalize:
+        _write(WCR.url_dedup(pages, ts_col=a.ts_col), a.output)
+    else:
+        _write(
+            WCR.latest_capture(pages, key_col="url", ts_col=a.ts_col), a.output
+        )
+
+
+def cmd_analyze(spark, a):
+    """Per-doc text-analysis table: repetition signals (Gopher-style),
+    BPE-ish token counts, quality score, language guess — one
+    shuffle-free projection over the corpus."""
+    from image_dedup_spark.functions import text as TXTF
+    from image_dedup_spark.operators import repetition as REPO
+
+    docs = _read(spark, a.input)
+    rep = REPO.repetition_stats(docs)
+    extra = docs.select(
+        "doc_id",
+        TXTF.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.round(TXTF.quality_score(F.col("text")), 6).alias("quality_score"),
+        TXTF.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+    _write(rep.join(extra, "doc_id"), a.output)
+
+
 def cmd_pipeline(spark, a):
     pages = _read(spark, a.input)
     res = run_pipeline(
@@ -257,6 +289,22 @@ def main(argv=None):
     sp.add_argument("--gallery", required=True)
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_remain)
+
+    sp = sub.add_parser("urlcollapse")
+    sp.add_argument("--input", required=True, help="pages table with url column")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--ts-col", default="warc_ts")
+    sp.add_argument(
+        "--normalize",
+        action="store_true",
+        help="canonicalize urls (scheme/www/utm/fragment) before collapsing",
+    )
+    sp.set_defaults(fn=cmd_urlcollapse)
+
+    sp = sub.add_parser("analyze")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("pipeline")
     sp.add_argument("--input", required=True)

@@ -37,6 +37,27 @@ def distinct_word_count(col: Column) -> Column:
     return F.size(F.array_distinct(word_tokens(col)))
 
 
+# GPT-2-style pretokenizer pattern, restricted to the subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction suffixes, optional-leading-space letter runs, digit runs,
+# and punctuation runs. No lookarounds (RE2 has none) and no \p classes
+# (byte-identical behavior either side). Both engines use leftmost-FIRST
+# alternation, so match boundaries agree exactly.
+BPE_ISH_PATTERN = r"'[a-z]{1,2}|\s?[A-Za-z]+|\s?[0-9]+|\s?[^A-Za-z0-9\s']+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pretokenization → array<string>: the merge-free first
+    stage of a GPT-2-class tokenizer, enough for token COUNTING and
+    length stats (the LM-pipeline budgeting use) without a vocab. Pure
+    JVM regex — no UDF."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 

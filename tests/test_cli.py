@@ -111,3 +111,29 @@ def test_cli_extract_quarantines_malformed(spark, corpus, tmp_path_factory):
     assert clean.count() + quar.count() == pages.count()
     assert quar.filter(F.col("error").isNull()).count() == 0
     assert quar.count() > 0
+
+
+def test_cli_urlcollapse_and_analyze(spark, corpus, tmp_path_factory):
+    pages, _ = corpus
+    root = str(tmp_path_factory.mktemp("cli_crawl"))
+    pages.write.mode("overwrite").parquet(f"{root}/pages")
+
+    assert main([
+        "urlcollapse", "--input", f"{root}/pages",
+        "--output", f"{root}/collapsed", "--normalize",
+    ]) == 0
+    collapsed = spark.read.parquet(f"{root}/collapsed")
+    assert "canonical_url" in collapsed.columns
+    # corpus urls are unique per doc, so collapse is url-count-preserving
+    assert collapsed.count() == pages.count()
+    assert collapsed.select("canonical_url").distinct().count() == collapsed.count()
+
+    assert main([
+        "analyze", "--input", f"{root}/pages", "--output", f"{root}/analysis",
+    ]) == 0
+    analysis = spark.read.parquet(f"{root}/analysis")
+    assert {
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_count",
+        "n_bpe_tokens", "quality_score", "lang_guess",
+    } <= set(analysis.columns)
+    assert analysis.count() == pages.count()

@@ -163,3 +163,23 @@ def test_hex_roundtrip_including_negative_words(spark):
     by_id = {r.id: r.hx for r in out}
     assert by_id[1].startswith("0000000000000000" + "f" * 16)
     assert len(by_id[1]) == 5 * 16
+
+
+def test_bpe_tokens_pretokenizer_cases(spark):
+    import pyspark.sql.functions as F
+
+    from image_dedup_spark.functions import text as TXT
+
+    cases = [
+        (0, "don't stop", ["don", "'t", " stop"]),
+        (1, "abc 123 x!y", ["abc", " 123", " x", "!", "y"]),
+        (2, "hello,   world", ["hello", ",", " world"]),
+        (3, "a1b2", ["a", "1", "b", "2"]),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "i long, t string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", TXT.bpe_tokens(F.col("t")).alias("toks")).collect()
+    }
+    for i, t, want in cases:
+        assert got[i] == want, (t, got[i], want)
