@@ -205,11 +205,12 @@ def cmd_analyze(spark, a):
 
     docs = _read(spark, a.input)
     rep = REPO.repetition_stats(docs)
+    t = F.coalesce(F.col("text"), F.lit(""))  # quarantine rows carry nulls
     extra = docs.select(
         "doc_id",
-        TXTF.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.round(TXTF.quality_score(F.col("text")), 6).alias("quality_score"),
-        TXTF.lang_guess(F.col("text")).alias("lang_guess"),
+        TXTF.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(TXTF.quality_score(t), 6).alias("quality_score"),
+        TXTF.lang_guess(t).alias("lang_guess"),
     )
     _write(rep.join(extra, "doc_id"), a.output)
 

@@ -35,7 +35,9 @@ _TOK = r"\s+"
 
 
 def _toks(text_col: str) -> Column:
-    return F.split(F.col(text_col), _TOK)
+    # null text behaves like empty (split of null would propagate null
+    # and F.size(null) = -1 — the wrong sentinel for "no tokens")
+    return F.split(F.coalesce(F.col(text_col), F.lit("")), _TOK)
 
 
 def _grams(toks: Column, width: int) -> Column:

@@ -222,3 +222,15 @@ def test_frequent_shingles_small_case(spark):
     }
     # the only 5-gram present in >= 2 docs
     assert freq == {"one two three four five": 2}
+
+
+def test_repetition_stats_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in REP.repetition_stats(df).collect()}
+    # null behaves like empty; the cross-engine split convention counts
+    # empty text as one '' token (token_stats parity)
+    for d in (0, 1):
+        assert got[d]["n_tokens"] == 1 and got[d]["top_bigram_count"] == 0, got[d]
+    assert got[2]["top_token_count"] == 2
