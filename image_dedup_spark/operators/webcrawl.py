@@ -43,7 +43,7 @@ def normalize_url(url: Column) -> Column:
     u = F.lower(url)
     u = F.regexp_replace(u, r"#.*", "")                      # fragment
     u = F.regexp_replace(u, r"^https?://", "")               # scheme
-    u = F.regexp_replace(u, r"^www\.", "")                   # www.
+    u = F.regexp_replace(u, r"^(?:www\.)+", "")              # www. (all — idempotence)
     u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*", "")     # tracking params
     u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")           # ?utm&x -> ?x repair
     # ([^?&]*) not ([^?]*): the query part must re-start at the FIRST
@@ -57,7 +57,7 @@ def host_of(url: Column) -> Column:
     """Authority component of a url: scheme and ``www.`` dropped, cut at
     the first ``/ : ? #`` — i.e. the host without port or path."""
     return F.regexp_extract(
-        F.lower(url), r"^(?:https?://)?(?:www\.)?([^/:?#]+)", 1
+        F.lower(url), r"^(?:https?://)?(?:www\.)*([^/:?#]+)", 1
     )
 
 

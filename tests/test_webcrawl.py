@@ -234,3 +234,71 @@ def test_repetition_stats_null_and_empty_text(spark):
     for d in (0, 1):
         assert got[d]["n_tokens"] == 1 and got[d]["top_bigram_count"] == 0, got[d]
     assert got[2]["top_token_count"] == 2
+
+
+# --------------------------------------------------------------------------
+# batch property checks (seeded random; single Spark job each)
+# --------------------------------------------------------------------------
+
+def _random_messy_urls(n=300, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    hosts = ["a.com", "b.org", "www.c.net", "D.example.com"]
+    schemes = ["", "http://", "https://", "HTTP://", "HTTPS://www."]
+    paths = ["", "/", "/x", "/x/y", "/x/y/"]
+    queries = ["", "?id=1", "?utm_source=s", "?utm_source=s&id=2",
+               "?id=3&utm_medium=m", "?utm_a=1&utm_b=2", "?id=4&utm_x=9&z=5"]
+    frags = ["", "#f", "#sec?utm_source=t"]
+    return [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(n)
+    ]
+
+
+def test_normalize_url_idempotent(spark):
+    """normalize is a projection: applying it twice equals once — the
+    invariant that makes canonical urls safe as join/group keys (a
+    canonical table re-canonicalized must not re-key)."""
+    urls = _random_messy_urls()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    once = WC.normalize_url(F.col("url"))
+    bad = (
+        df.select("url", once.alias("n1"), WC.normalize_url(once).alias("n2"))
+        .filter(F.col("n1") != F.col("n2"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
+
+
+def test_normalize_url_never_leaves_utm_or_scheme(spark):
+    urls = _random_messy_urls(seed=11)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(WC.normalize_url(F.col("url")).alias("n")).collect()
+    for r in out:
+        n = r["n"]
+        assert "utm_" not in n and "#" not in n, n
+        assert not n.startswith(("http://", "https://", "www.")), n
+        assert not n.endswith(("?", "&", "/")), n
+
+
+def test_latest_capture_matches_python_oracle(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, f"u{rng.randrange(40)}", rng.randrange(50), f"p{i}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts long, payload string")
+    got = {
+        r["url"]: (r["doc_id"], r["ts"], r["payload"])
+        for r in WC.latest_capture(df, key_col="url", ts_col="ts").collect()
+    }
+    want = {}
+    for doc_id, url, ts, payload in rows:
+        cur = want.get(url)
+        if cur is None or (ts, doc_id) > (cur[1], cur[0]):
+            want[url] = (doc_id, ts, payload)
+    assert got == want
