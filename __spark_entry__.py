@@ -1725,6 +1725,35 @@ GROUP BY s.doc_id
 """
 
 
+_AS_OF_TS = 1_700_000_000 + 250  # mid-corpus cut
+
+
+def q_snapshot_as_of(spark, sf_dir):
+    """Point-in-time crawl view: the latest capture per url AS OF a
+    timestamp — filter(ts <= T) then recrawl collapse. The as-of filter
+    pushes into the scan (pure predicate); the collapse is the same
+    struct-max aggregate as latest_capture, so a time-travel view costs
+    exactly one winner-sized shuffle at any corpus size."""
+    pages = _pages_view(spark, sf_dir).filter(F.col("warc_ts_s") <= _AS_OF_TS)
+    won = WC.latest_capture(pages, key_col="url", ts_col="warc_ts_s")
+    return won.select("url", "doc_id", "warc_ts_s")
+
+
+SQL_SNAPSHOT_AS_OF = f"""
+WITH p AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/p' || CAST(doc_id % 40 AS VARCHAR) AS url,
+         1700000000 + doc_id AS warc_ts_s
+  FROM documents
+  WHERE 1700000000 + doc_id <= {_AS_OF_TS}
+)
+SELECT url,
+       arg_max(doc_id, warc_ts_s) AS doc_id,
+       max(warc_ts_s) AS warc_ts_s
+FROM p GROUP BY url
+"""
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """LM-budget token counting: GPT-2-style merge-free pretokenization
     (functions/text.bpe_tokens — pure JVM regexp_extract_all, no UDF);
@@ -1805,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "frequent_shingle_docs": q_frequent_shingle_docs,
         "bpe_token_stats": q_bpe_token_stats,
+        "snapshot_as_of": q_snapshot_as_of,
     }
 
 
@@ -1858,4 +1888,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION_STATS,
         "frequent_shingle_docs": SQL_FREQUENT_SHINGLE_DOCS,
         "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+        "snapshot_as_of": SQL_SNAPSHOT_AS_OF,
     }
