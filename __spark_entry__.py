@@ -6,7 +6,7 @@ callable; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for the
 SQL-expressible ones (the rest get the driver's rows-only check).
 
 Cross-engine conventions (kept in lockstep between the two sides):
-- normalized text  = trim(regexp_replace(lower(text), '\\s+', ' '))
+- normalized text  = trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' '))
 - 60-bit hash      = CAST('0x'||substring(md5(s||':<seed>'),1,15) AS BIGINT)
   (see image_dedup_spark.functions.hashing.md5_hash64 / duckdb_md5_hash64)
 - char-8 shingles  = substrings at positions 1..len-7
@@ -47,7 +47,7 @@ from image_dedup_spark.plans.pipeline import run_pipeline
 # shared fragments
 # ---------------------------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
 _PREFIX_SQL = "substring(text, 1, 32)"
 _SUFFIX_SQL = "substring(text, greatest(length(text) - 31, 1))"
 _SHINGLES_SQL = (
@@ -203,9 +203,9 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = """
 SELECT doc_id,
-       len(string_split_regex(text, '\\s+')) AS n_tokens,
-       len(list_distinct(string_split_regex(text, '\\s+'))) AS n_distinct_tokens,
-       length(text) AS n_chars_actual
+       CAST(len(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(text, '[ \\t\\n\\f\\r]+'))) AS INTEGER) AS n_distinct_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
 FROM documents
 """
 
@@ -249,12 +249,12 @@ def q_stopword_stats(spark, sf_dir):
 
 SQL_STOPWORD_STATS = """
 SELECT doc_id,
-  len(list_filter(string_split_regex(lower(text), '\\s+'),
-      w -> w IN ('the','and','of','to','a','in','is'))) AS sw_hits,
-  len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
-  (len(list_filter(string_split_regex(lower(text), '\\s+'),
+  CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
+      w -> w IN ('the','and','of','to','a','in','is'))) AS INTEGER) AS sw_hits,
+  CAST(len(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+')) AS INTEGER) AS n_tokens,
+  (len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
       w -> w IN ('the','and','of','to','a','in','is'))) * 1.0
-   / len(string_split_regex(lower(text), '\\s+'))) >= 0.08 AS looks_english
+   / len(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'))) >= 0.08 AS looks_english
 FROM documents
 """
 
@@ -423,7 +423,7 @@ sig AS (SELECT doc_id,
   ({' + '.join(f'(CASE WHEN c{b}*2 > n THEN {1 << b} ELSE 0 END)' for b in range(16))})::BIGINT
   AS sh16 FROM g)
 SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-       bit_count(xor(a.sh16, b.sh16)) AS dist
+       CAST(bit_count(xor(a.sh16, b.sh16)) AS INTEGER) AS dist
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh16, b.sh16)) < 3
 """
@@ -495,7 +495,7 @@ def q_top_bigrams(spark, sf_dir):
 
 
 SQL_TOP_BIGRAMS = """
-WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\f\\r]+') AS words FROM documents),
 b AS (SELECT unnest(list_transform(range(1, len(words)),
              i -> words[i] || ' ' || words[i+1])) AS bigram FROM w)
 SELECT bigram, count(*) AS cnt FROM b
@@ -647,7 +647,7 @@ p AS (SELECT a.vec_id src_id, b.vec_id dst_id,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
       FROM e a JOIN e b ON a.vec_id != b.vec_id),
 r AS (SELECT src_id, dst_id, cos,
-             row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id ASC) AS rank
+             CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id ASC) AS INTEGER) AS rank
       FROM p)
 SELECT src_id, dst_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 3
 """
@@ -693,7 +693,7 @@ def q_text_quality(spark, sf_dir):
 
 
 _SQL_NORM_TOKS = (
-    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')), ' '),"
     " w -> w != '')"
 )
 _SQL_SW_HITS = (
@@ -704,7 +704,7 @@ SQL_TEXT_QUALITY = f"""
 WITH t AS (
   SELECT doc_id, text,
          {_SQL_NORM_TOKS} AS toks,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+         length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\f\\r]', '', 'g')) AS n_punct
   FROM documents
 ), s AS (
   SELECT doc_id, text, toks, n_punct,
@@ -795,7 +795,7 @@ def q_orders_by_segment(spark, sf_dir):
 
 SQL_ORDERS_BY_SEGMENT = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -1337,8 +1337,8 @@ scored AS (SELECT c.src_id, c.dst_id,
            JOIN e ea ON c.src_id = ea.vec_id
            JOIN e eb ON c.dst_id = eb.vec_id),
 r AS (SELECT src_id, dst_id, cos,
-             row_number() OVER (PARTITION BY src_id
-                                ORDER BY cos DESC, dst_id ASC) AS rank
+             CAST(row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, dst_id ASC) AS INTEGER) AS rank
       FROM scored)
 SELECT src_id, dst_id, rank, round(round(cos, 9), 4) AS cos
 FROM r WHERE rank <= {_ANN_K}
@@ -1445,8 +1445,8 @@ scored AS (SELECT c.src_id, c.dst_id,
            JOIN e ea ON c.src_id = ea.vec_id
            JOIN e eb ON c.dst_id = eb.vec_id),
 r AS (SELECT src_id, dst_id, cos,
-             row_number() OVER (PARTITION BY src_id
-                                ORDER BY cos DESC, dst_id ASC) AS rank
+             CAST(row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, dst_id ASC) AS INTEGER) AS rank
       FROM scored)
 SELECT src_id, dst_id, rank, round(round(cos, 9), 4) AS cos
 FROM r WHERE rank <= {_IVF_TOPK}
@@ -1589,28 +1589,36 @@ WITH p AS (
 SELECT url,
        arg_max(doc_id, warc_ts_s) AS doc_id,
        max(warc_ts_s) AS warc_ts_s,
-       arg_max(n_chars, warc_ts_s) AS n_chars
+       CAST(arg_max(n_chars, warc_ts_s) AS INTEGER) AS n_chars
 FROM p GROUP BY url
 """
 
 
 def q_url_dedup_normalized(spark, sf_dir):
-    """URL canonicalization + canonical-url dedup: four messy variants
-    (scheme/case, www + trailing slash, utm tracking param, fragment)
-    are built per doc, the REAL regexp normalizer collapses them, and
-    the latest capture per canonical url survives. The oracle
-    constructs the expected canonical form directly — ground truth for
-    the normalizer, not a replay of it."""
+    """URL canonicalization + canonical-url dedup: eight messy variants
+    (scheme/case, www + trailing slash, utm tracking params, fragment,
+    userinfo, default :443/:80 ports, underscore/digit utm keys with
+    %-escaped values, empty params) are built per doc, the REAL
+    normalizer collapses them, and the latest capture per canonical url
+    survives. The oracle constructs the expected canonical form
+    directly — ground truth for the normalizer, not a replay of it."""
     pages = _pages_view(spark, sf_dir)
-    base = F.concat(
-        F.col("source"), F.lit(".example.com/q"),
-        (F.col("doc_id") % 50).cast("string"),
-    )
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/q"), (F.col("doc_id") % 50).cast("string"))
+    base = F.concat(host, path)
+    m = F.col("doc_id") % 8
     messy = (
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://www."), base, F.lit("/")))
-        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&utm_medium=rss")))
-        .otherwise(F.concat(F.lit("HTTPS://"), base, F.lit("#section-2")))
+        F.when(m == 0, F.concat(F.lit("https://"), base))
+        .when(m == 1, F.concat(F.lit("http://www."), base, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(m == 3, F.concat(F.lit("HTTPS://"), base, F.lit("#section-2")))
+        # round-5 hardening variants: userinfo, default ports,
+        # underscore/digit utm keys with %-escaped values, empty params
+        .when(m == 4, F.concat(F.lit("https://crawler:pw@"), base))
+        .when(m == 5, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(m == 6, F.concat(F.lit("http://"), host, F.lit(":80"), path,
+                               F.lit("?utm_source_platform=web&utm_id=a%2fb")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?&utm_campaign&#f")))
     )
     won = WC.url_dedup(
         pages.withColumn("url", messy), ts_col="warc_ts_s"
@@ -1652,7 +1660,7 @@ WITH p AS (
 SELECT host,
        count(*) AS n_pages,
        count(DISTINCT url) AS n_urls,
-       sum(n_chars) AS total_text_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_text_chars,
        max(warc_ts_s) AS latest_ts
 FROM p GROUP BY host
 """
@@ -1667,7 +1675,7 @@ def q_repetition_stats(spark, sf_dir):
 
 SQL_REPETITION_STATS = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(coalesce(text, ''), '[ \\t\\n\\f\\r]+') AS toks FROM documents
 ), tok AS (
   SELECT doc_id, max(c) AS top_token_count FROM (
     SELECT t.doc_id, count(*) AS c
@@ -1682,12 +1690,12 @@ WITH t AS (
   ) GROUP BY doc_id
 )
 SELECT t.doc_id,
-       len(t.toks) AS n_tokens,
-       len(list_distinct(t.toks)) AS n_distinct_tokens,
+       CAST(len(t.toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(t.toks)) AS INTEGER) AS n_distinct_tokens,
        round(1.0 - len(list_distinct(t.toks)) * 1.0 / greatest(len(t.toks), 1), 6)
          AS dup_token_frac,
-       coalesce(tok.top_token_count, 0) AS top_token_count,
-       coalesce(big.top_bigram_count, 0) AS top_bigram_count,
+       CAST(coalesce(tok.top_token_count, 0) AS INTEGER) AS top_token_count,
+       CAST(coalesce(big.top_bigram_count, 0) AS INTEGER) AS top_bigram_count,
        round(coalesce(big.top_bigram_count, 0) * 2.0 / greatest(len(t.toks), 1), 6)
          AS top_bigram_frac
 FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN big USING (doc_id)
@@ -1707,7 +1715,7 @@ def q_frequent_shingle_docs(spark, sf_dir):
 
 SQL_FREQUENT_SHINGLE_DOCS = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(coalesce(text, ''), '[ \\t\\n\\f\\r]+') AS toks FROM documents
 ), s AS (
   SELECT DISTINCT t.doc_id,
          t.toks[g.i::int] || ' ' || t.toks[g.i::int + 1] || ' ' ||
@@ -1774,9 +1782,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       len(toks) AS n_bpe_tokens,
-       len(list_distinct(toks)) AS n_distinct_bpe,
-       list_max(list_transform(toks, t -> length(t))) AS max_bpe_len
+       CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_bpe,
+       CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_bpe_len
 FROM t
 """
 

@@ -16,12 +16,19 @@ from pyspark.sql import functions as F
 # reference's filter (/root/reference/image_filter.cpp:13-82).
 _STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
 
+# Whitespace spelled as an explicit class rather than \s: the shorthand
+# differs between regex engines (Java \s includes \x0B vertical tab,
+# RE2 — the DuckDB oracle engine — does not). Every parity-checked
+# pattern on both the Spark side and the oracle side uses this class so
+# the two engines match byte-identically on any input.
+_WS = r" \t\n\f\r"
+
 
 def normalize(col: Column) -> Column:
     """Canonical text form used for exact hashing: lowercase, collapse
     whitespace runs to single spaces, trim. Deterministic per input —
     this is the per-row invariant surface (byte-identical per url)."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), rf"[{_WS}]+", " "))
 
 
 def word_tokens(col: Column) -> Column:
@@ -42,8 +49,15 @@ def distinct_word_count(col: Column) -> Column:
 # contraction suffixes, optional-leading-space letter runs, digit runs,
 # and punctuation runs. No lookarounds (RE2 has none) and no \p classes
 # (byte-identical behavior either side). Both engines use leftmost-FIRST
-# alternation, so match boundaries agree exactly.
-BPE_ISH_PATTERN = r"'[a-z]{1,2}|\s?[A-Za-z]+|\s?[0-9]+|\s?[^A-Za-z0-9\s']+"
+# alternation, so match boundaries agree exactly. Whitespace uses the
+# explicit _WS class (see above); VT is uniformly "punctuation" on both
+# engines.
+BPE_ISH_PATTERN = (
+    r"'[a-z]{1,2}"
+    rf"|[{_WS}]?[A-Za-z]+"
+    rf"|[{_WS}]?[0-9]+"
+    rf"|[{_WS}]?[^A-Za-z0-9{_WS}']+"
+)
 
 
 def bpe_tokens(col: Column) -> Column:
@@ -64,7 +78,7 @@ def char_count(col: Column) -> Column:
 
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
-    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    stripped = F.regexp_replace(col, rf"[A-Za-z0-9{_WS}]", "")
     return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(
         F.lit(0.0)
     )

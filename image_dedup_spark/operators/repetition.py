@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TOK = r"\s+"
+from ..functions.text import _WS
+
+# Explicit whitespace class (not \s): Java and RE2 disagree on \x0B, and
+# the DuckDB oracle twin must tokenize byte-identically.
+_TOK = rf"[{_WS}]+"
 
 
 def _toks(text_col: str) -> Column:

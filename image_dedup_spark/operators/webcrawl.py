@@ -30,34 +30,78 @@ from pyspark.sql import functions as F
 # URL canonicalization
 # --------------------------------------------------------------------------
 
-def normalize_url(url: Column) -> Column:
-    """Canonical form of a url: lowercase, fragment stripped, scheme and
-    leading ``www.`` dropped, ``utm_*`` tracking params removed (with
-    separator repair), trailing ``?``/``&``/``/`` trimmed.
+# Tracking params to drop from query strings. utm_[a-z0-9_]+ (not just
+# [a-z]+): real keys include utm_source_platform, utm_id — underscores
+# and digits are part of the vocabulary. Bare keys (no '=') count too.
+_TRACKING_PARAM = r"^utm_[a-z0-9_]+(=.*)?$"
 
-    Deterministic pure-Column chain; the same rules a Common-Crawl-style
-    recrawl collapse uses to decide "same page". Spark's
-    ``regexp_replace`` replaces ALL occurrences, so multi-param
-    ``utm_`` runs collapse in one pass.
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of a url: lowercase, fragment stripped, userinfo
+    (``user:pw@``) stripped, default ports (``:80`` for http, ``:443``
+    for https) stripped, scheme and leading ``www.`` dropped, %-escape
+    hex case normalized (``%3a`` → ``%3A``), ``utm_*`` tracking params
+    and empty params removed, trailing separators trimmed.
+
+    Deterministic pure-Column chain (regexp + split/filter/array_join —
+    whole-stage codegen, no UDF); the rules a Common-Crawl-style recrawl
+    collapse uses to decide "same page".
+
+    The query string is cleaned structurally — split on ``&``, drop
+    tracking/empty params, rejoin — rather than by regex surgery on the
+    full url. The round-4 regex "separator repair" turned a literal
+    ``&`` in a query-less path into ``?`` (``a.com/a&b?utm_x=1`` →
+    ``a.com/a?b``, merging distinct pages); operating on the query part
+    alone cannot touch the path.
     """
     u = F.lower(url)
     u = F.regexp_replace(u, r"#.*", "")                      # fragment
+    # userinfo: only when the scheme is present (authority is
+    # unambiguous there); '@' later in a path is untouched because the
+    # class excludes /?# and must end at '@' before any of them.
+    u = F.regexp_replace(u, r"^(https?://)[^/?#@]*@", r"$1")
+    # scheme-appropriate default ports (before the scheme is dropped —
+    # afterwards we could no longer tell :80-on-http from :80-on-https).
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^https?://", "")               # scheme
     u = F.regexp_replace(u, r"^(?:www\.)+", "")              # www. (all — idempotence)
-    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*", "")     # tracking params
-    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")           # ?utm&x -> ?x repair
-    # ([^?&]*) not ([^?]*): the query part must re-start at the FIRST
-    # orphaned '&' (a greedy class would backtrack to the last one).
-    u = F.regexp_replace(u, r"[?&]+$", "")                   # dangling sep
-    u = F.regexp_replace(u, r"/$", "")                       # trailing slash
+    # %-escape hex case: split on '%', uppercase the two hex chars that
+    # open every later piece ('%3a…' → '%3A…'); non-hex pieces (a loose
+    # literal '%') pass through. Array transform, still codegen-side.
+    parts = F.split(u, "%", -1)
+    u = F.array_join(
+        F.transform(
+            parts,
+            lambda p, i: F.when(
+                (i > 0) & p.rlike(r"^[0-9a-f]{2}"),
+                F.concat(F.upper(F.substring(p, 1, 2)), F.substring(p, 3, 2_000_000)),
+            ).otherwise(p),
+        ),
+        "%",
+    )
+    # query cleanup: split off the query, drop tracking/empty params,
+    # re-attach only if something survived.
+    path = F.substring_index(u, "?", 1)
+    query = F.when(F.instr(u, "?") > 0, F.substring(u, F.instr(u, "?") + 1, 2_000_000))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&", -1),
+        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_PARAM),
+    )
+    joined = F.array_join(kept, "&")
+    u = F.when(joined != F.lit(""), F.concat(path, F.lit("?"), joined)).otherwise(path)
+    u = F.regexp_replace(u, r"/+$", "")                      # trailing slash(es)
     return u
 
 
 def host_of(url: Column) -> Column:
-    """Authority component of a url: scheme and ``www.`` dropped, cut at
-    the first ``/ : ? #`` — i.e. the host without port or path."""
+    """Authority component of a url: scheme, userinfo (``user:pw@``) and
+    ``www.`` dropped, cut at the first ``/ : ? #`` — i.e. the host
+    without port or path. The userinfo group excludes ``/?#`` so an
+    ``@`` appearing later (in path or query) can never pull the match
+    forward."""
     return F.regexp_extract(
-        F.lower(url), r"^(?:https?://)?(?:www\.)*([^/:?#]+)", 1
+        F.lower(url), r"^(?:https?://)?(?:[^/?#@]*@)?(?:www\.)*([^/:?#]+)", 1
     )
 
 

@@ -1,6 +1,9 @@
 """Local stand-in for the driver's DuckDB-oracle comparison: runs every
 queries() entry at sf0.01 and diffs against oracle_sql() with
-order-insensitive, column-name-sorted value comparison."""
+order-insensitive, column-name-sorted value comparison PLUS an
+Arrow-schema type check (the driver hashes typed values, so a Spark
+bigint vs a DuckDB decimal128 fails there even when reprs are equal —
+the round-4 host_stats lesson; see tests/test_oracle_type_parity.py)."""
 
 from __future__ import annotations
 
@@ -68,6 +71,21 @@ def main(only: list[str] | None = None):
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        # typed-schema parity (what the driver's value hash actually sees)
+        from tests.test_oracle_type_parity import canon_arrow, canon_spark
+
+        stypes = {f.name: canon_spark(f.dataType) for f in sdf.schema.fields}
+        tbl = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0").arrow()
+        dtypes = {f.name: canon_arrow(f.type) for f in tbl.schema}
+        typediff = {
+            c: (stypes.get(c), dtypes.get(c))
+            for c in set(stypes) | set(dtypes)
+            if stypes.get(c) != dtypes.get(c)
+        }
+        if typediff:
+            failures.append((name, f"arrow types differ: {typediff}"))
+            print(f"FAIL  {name}: arrow types differ: {typediff}")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append((name, f"schema {sorted(scols)} vs {sorted(dcols)}"))

@@ -31,6 +31,35 @@ NORMALIZE_CASES = [
     # fragment before query params is stripped whole
     ("https://c.example.com/x?a=1#frag?utm_source=z",
      "c.example.com/x?a=1"),
+    # --- adversarial authorities / query shapes (round-5 hardening) ---
+    # userinfo stripped (with and without password)
+    ("https://user:pw@a.example.com/p", "a.example.com/p"),
+    ("http://alice@b.example.com/x?id=1", "b.example.com/x?id=1"),
+    # default ports stripped scheme-appropriately; non-default kept
+    ("http://a.example.com:80/p", "a.example.com/p"),
+    ("https://a.example.com:443/p?id=2", "a.example.com/p?id=2"),
+    ("https://a.example.com:443", "a.example.com"),
+    ("http://a.example.com:8080/p", "a.example.com:8080/p"),
+    ("https://a.example.com:80/p", "a.example.com:80/p"),  # 80 on httpS is NOT default
+    # %-escape hex case normalized (uppercase canonical); loose % kept
+    ("https://a.example.com/a%2fb%3Ac", "a.example.com/a%2Fb%3Ac"),
+    ("https://a.example.com/100%25off", "a.example.com/100%25off"),
+    ("https://a.example.com/50%-off", "a.example.com/50%-off"),
+    # literal '&' in a query-less path must NOT become '?' (ADVICE r4:
+    # the old separator-repair merged a.com/a&b?utm_x=1 into a.com/a?b)
+    ("https://a.example.com/a&b?utm_x=1", "a.example.com/a&b"),
+    ("https://a.example.com/a&b", "a.example.com/a&b"),
+    # underscore/digit tracking keys; bare utm key without '='
+    ("https://a.example.com/p?utm_source_platform=web&id=5",
+     "a.example.com/p?id=5"),
+    ("https://a.example.com/p?utm_id2=9&id=6", "a.example.com/p?id=6"),
+    ("https://a.example.com/p?utm_source&id=7", "a.example.com/p?id=7"),
+    # empty params dropped; consecutive separators collapse
+    ("https://a.example.com/p?&id=8&&sort=asc", "a.example.com/p?id=8&sort=asc"),
+    # '@' in the path is not userinfo
+    ("https://a.example.com/u/@handle", "a.example.com/u/@handle"),
+    # multiple trailing slashes
+    ("https://a.example.com/p//", "a.example.com/p"),
 ]
 
 
@@ -51,6 +80,13 @@ HOST_CASES = [
     ("http://b.example.com/x", "b.example.com"),
     ("c.example.com", "c.example.com"),
     ("https://d.example.com#f", "d.example.com"),
+    # userinfo must not shadow the host (VERDICT r4: the old class
+    # stopped at ':' inside user:pw and returned the username)
+    ("https://user:pw@e.example.com/p", "e.example.com"),
+    ("http://alice@f.example.com", "f.example.com"),
+    ("user:pw@g.example.com:8080/p", "g.example.com"),
+    # '@' later in the path is not userinfo
+    ("https://h.example.com/u/@handle", "h.example.com"),
 ]
 
 
@@ -244,15 +280,19 @@ def _random_messy_urls(n=300, seed=7):
     import random
 
     rng = random.Random(seed)
-    hosts = ["a.com", "b.org", "www.c.net", "D.example.com"]
+    hosts = ["a.com", "b.org", "www.c.net", "D.example.com",
+             "user:pw@e.com", "alice@f.net"]
+    ports = ["", "", "", ":80", ":443", ":8080"]
     schemes = ["", "http://", "https://", "HTTP://", "HTTPS://www."]
-    paths = ["", "/", "/x", "/x/y", "/x/y/"]
+    paths = ["", "/", "/x", "/x/y", "/x/y/", "/a&b", "/x%2fy", "/50%-off", "/u/@h"]
     queries = ["", "?id=1", "?utm_source=s", "?utm_source=s&id=2",
-               "?id=3&utm_medium=m", "?utm_a=1&utm_b=2", "?id=4&utm_x=9&z=5"]
+               "?id=3&utm_medium=m", "?utm_a=1&utm_b=2", "?id=4&utm_x=9&z=5",
+               "?utm_source_platform=web&id=6", "?utm_source&id=7",
+               "?&id=8&&z=9", "?p=%3a%2F"]
     frags = ["", "#f", "#sec?utm_source=t"]
     return [
-        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
-        + rng.choice(queries) + rng.choice(frags)
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
         for _ in range(n)
     ]
 
