@@ -746,6 +746,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_dedup_rate_windows(spark, sf_dir):
+    """Batch-mode equivalence check for the STREAMING dup-rate monitor
+    (streaming/incremental.dedup_rate_windows): the same
+    watermark+tumbling-window aggregation run over the bounded events
+    table (withWatermark is a no-op in batch), with exact=True swapping
+    HLL++ for count_distinct so the counts are deterministic. The
+    events' ``props`` payload plays the document text; the 10-minute
+    tumbling windows and the dup-rate formula are exactly what the
+    stream emits. Oracle: DuckDB time_bucket twin (both engines align
+    10-minute buckets to midnight-anchored origins)."""
+    from image_dedup_spark.streaming.incremental import dedup_rate_windows
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").alias("event_time"), F.col("props").alias("text")
+    )
+    out = dedup_rate_windows(
+        e, window="10 minutes", watermark="5 minutes", exact=True
+    )
+    return out.select(
+        # window().start preserves the parquet NTZ type; cast to the
+        # session-tz timestamp the other events oracles compare as
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "n_docs",
+        "n_unique",
+        F.round(F.col("dup_rate"), 6).alias("dup_rate"),
+    )
+
+
+SQL_DEDUP_RATE_WINDOWS = f"""
+WITH e AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         trim(regexp_replace(lower(props), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS nt
+  FROM events
+)
+SELECT window_start,
+       count(*) AS n_docs,
+       count(DISTINCT nt) AS n_unique,
+       round(1 - count(DISTINCT nt) / count(*), 6) AS dup_rate
+FROM e GROUP BY window_start
+"""
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """Columnar-scan/agg surface (TPC-H Q1 style) on lineitem.
 
@@ -1815,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "text_quality": q_text_quality,
         "events_hourly": q_events_hourly,
+        "dedup_rate_windows": q_dedup_rate_windows,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
         # production paths (ALL oracled; see the section comment above
@@ -1872,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP,
         "text_quality": SQL_TEXT_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "dedup_rate_windows": SQL_DEDUP_RATE_WINDOWS,
         "lineitem_pricing": SQL_LINEITEM_PRICING,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -109,6 +109,21 @@ def host_of(url: Column) -> Column:
 # Recrawl collapse
 # --------------------------------------------------------------------------
 
+def _orderable(dt) -> bool:
+    """Whether Spark can sort/compare a column of this type (map types —
+    at any nesting depth — are not orderable and would fail analysis
+    inside ``max(struct(...))``)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def latest_capture(
     pages: DataFrame, key_col: str = "url", ts_col: str = "warc_ts"
 ) -> DataFrame:
@@ -122,21 +137,39 @@ def latest_capture(
     influence the order and the whole winning row falls out of one
     hash aggregate with map-side combine. No window sort, no
     corpus-sized join-back.
+
+    Unorderable payload columns (maps, or arrays/structs containing
+    maps) cannot ride in the packed struct — Spark's analyzer rejects
+    ``max`` over them. Those columns are carried around the aggregate
+    instead: winners are picked from the orderable columns, then the
+    unorderable ones are joined back by the winner's unique ``doc_id``.
+    The join-back ships only ``doc_id`` plus the map columns and joins
+    a winner-sized table against the corpus on a unique key — still no
+    window sort, and the common all-orderable schema path is unchanged
+    (zero joins).
     """
     cols = pages.columns
     if key_col not in cols or ts_col not in cols:
         raise ValueError(f"pages must carry {key_col!r} and {ts_col!r}")
+    dtypes = {f.name: f.dataType for f in pages.schema.fields}
+    for c in (key_col, ts_col, "doc_id"):
+        if c in dtypes and not _orderable(dtypes[c]):
+            raise ValueError(f"{c!r} must be an orderable type, got {dtypes[c]}")
     rest = [c for c in cols if c not in (key_col, ts_col, "doc_id")]
+    packable = [c for c in rest if _orderable(dtypes[c])]
+    carried = [c for c in rest if not _orderable(dtypes[c])]
     packed = F.struct(
-        F.col(ts_col), F.col("doc_id"), *[F.col(c) for c in rest]
+        F.col(ts_col), F.col("doc_id"), *[F.col(c) for c in packable]
     ).alias("_w")
     won = pages.groupBy(key_col).agg(F.max(packed).alias("_w"))
     out = won.select(
         key_col,
         F.col(f"_w.{ts_col}").alias(ts_col),
         F.col("_w.doc_id").alias("doc_id"),
-        *[F.col(f"_w.{c}").alias(c) for c in rest],
+        *[F.col(f"_w.{c}").alias(c) for c in packable],
     )
+    if carried:
+        out = out.join(pages.select("doc_id", *carried), on="doc_id", how="inner")
     return out.select(*cols)  # original column order
 
 

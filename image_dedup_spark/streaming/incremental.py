@@ -52,6 +52,7 @@ def dedup_rate_windows(
     window: str = "10 minutes",
     watermark: str = "5 minutes",
     time_col: str = "event_time",
+    exact: bool = False,
 ) -> DataFrame:
     """Crawl-health monitoring: per event-time window, how duplicated is
     the incoming stream? ``withWatermark`` bounds the aggregation state
@@ -63,14 +64,25 @@ def dedup_rate_windows(
     unsupported — and unaffordable — in streaming state; the dup-rate
     trend is a monitoring signal, not an accounting number. Pair with
     ``outputMode("update")`` + a dashboard sink, or ``append`` + files
-    (rows emit once per finalized window)."""
+    (rows emit once per finalized window).
+
+    ``exact=True`` swaps HLL++ for exact ``count_distinct`` — only
+    legal on a BOUNDED DataFrame (batch mode; streaming rejects
+    distinct aggregation), where ``withWatermark`` is a no-op. This is
+    the batch-equivalence surface the driver oracle checks: identical
+    windowing/dup-rate semantics, deterministic counts."""
+    distinct_agg = (
+        F.count_distinct(F.col("exact_key"))
+        if exact
+        else F.approx_count_distinct("exact_key")
+    )
     return (
         stream.withColumn("exact_key", EX.exact_key(F.col("text")))
         .withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), window).alias("w"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.approx_count_distinct("exact_key").alias("n_unique"),
+            distinct_agg.alias("n_unique"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -150,3 +150,24 @@ def test_first_seen_filter_state_survives_restart(spark, tmp_path_factory):
 
     ids = sorted(r.doc_id for r in got)
     assert ids == [1, 2, 5]  # min doc_id per key, "aaa" only from run 1
+
+
+def test_dedup_rate_windows_exact_batch_mode(spark):
+    """exact=True (the batch-equivalence surface the driver oracle
+    checks): deterministic count_distinct over the same windowing."""
+    from image_dedup_spark.streaming.incremental import dedup_rate_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01 10:00:00"), "aaa"),
+            (2, _ts("2026-01-01 10:02:00"), "aaa"),   # dup in window 10:00
+            (3, _ts("2026-01-01 10:05:00"), "bbb"),
+            (4, _ts("2026-01-01 10:20:00"), "ccc"),
+        ],
+        TS_SCHEMA,
+    )
+    got = {
+        r["window_start"].minute: (r["n_docs"], r["n_unique"], r["dup_rate"])
+        for r in dedup_rate_windows(df, exact=True).collect()
+    }
+    assert got == {0: (3, 2, 1 - 2 / 3), 20: (1, 1, 0.0)}

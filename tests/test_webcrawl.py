@@ -131,6 +131,32 @@ def test_latest_capture_keeps_max_ts_full_row(spark):
     assert out.columns == df.columns
 
 
+def test_latest_capture_with_map_column(spark):
+    """A map-typed payload column (unorderable — would fail analysis
+    inside max(struct(...))) is carried around the aggregate and joined
+    back by the winner's doc_id; values follow the winning row."""
+    df = spark.createDataFrame(
+        [
+            (1, "u1", 100, {"etag": "a"}, "x"),
+            (2, "u1", 300, {"etag": "b"}, "y"),   # winner for u1
+            (3, "u2", 50, {"etag": "c"}, "z"),
+        ],
+        "doc_id long, url string, warc_ts long, headers map<string,string>, t string",
+    )
+    out = WC.latest_capture(df, key_col="url", ts_col="warc_ts")
+    assert out.columns == df.columns
+    got = {r["url"]: (r["doc_id"], r["headers"], r["t"]) for r in out.collect()}
+    assert got == {"u1": (2, {"etag": "b"}, "y"), "u2": (3, {"etag": "c"}, "z")}
+
+
+def test_latest_capture_rejects_unorderable_key(spark):
+    df = spark.createDataFrame(
+        [(1, {"k": "v"}, 10)], "doc_id long, key map<string,string>, ts long"
+    )
+    with pytest.raises(ValueError, match="orderable"):
+        WC.latest_capture(df, key_col="key", ts_col="ts")
+
+
 def test_url_dedup_collapses_variants(spark):
     rows = [
         (1, "https://a.example.com/p", 10, "x"),
