@@ -115,6 +115,16 @@ class DedupConfig:
     # shuffle shapes are kept (star-shaped adjacency can make offers
     # much larger than the frontier itself).
     cc_offer_bcast_max: int = 2_000_000
+    # Cluster-assignment join strategy: the corpus-sized labels table
+    # only needs comp rows whose component min DIFFERS from the keeper
+    # (quiescent keepers coalesce to themselves), and that "moved" set
+    # is usually a small fraction of the corpus. At or below this many
+    # moved rows the assign join broadcasts them — the corpus scan
+    # stays map-side, no multi-million-row shuffle of the labels table.
+    # 4M rows x ~40B hashed ~ 160MB, comfortable against the 8g driver
+    # and ordinary executor memory; above the cap the shuffle join is
+    # kept (correct at any size).
+    assign_bcast_max: int = 4_000_000
     # greedy (reference-compat) survivor mode: components with more
     # edges than this skip the single-task pandas greedy pass and fall
     # back to keep-first (min doc_id) — bounds per-task memory against

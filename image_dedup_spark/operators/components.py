@@ -158,20 +158,29 @@ def connected_components(
         lazy_ok=True,
     )
 
+    id_bounds: list = []
+
     def probe(lab: DataFrame, it: int, mode: str) -> tuple[int, int]:
         """One job: materializes any pending lazy checkpoints in lab's
         plan AND counts the round's changed labels (the convergence
         test) plus total vertices (the frontier-fraction gate). The
         label sum (decimal(38,0), immune to 64-bit wrap on hash-derived
         ids) is kept in the metrics as a cross-run fingerprint of the
-        labelling itself."""
+        labelling itself. The warm probe additionally rides the vertex
+        id bounds (for the int32 narrowing decision below) on the same
+        aggregation — no extra job."""
         t0 = time.monotonic()
-        row = lab.agg(
+        aggs = [
             F.sum(F.col("changed").cast("long")),
             F.count(F.lit(1)),
             F.sum(F.col("cluster_id").cast("decimal(38,0)")),
-        ).first()
+        ]
+        if it == -1:
+            aggs += [F.min("doc_id"), F.max("doc_id")]
+        row = lab.agg(*aggs).first()
         n_changed = int(row[0] or 0)
+        if it == -1:
+            id_bounds[:] = [row[3], row[4]]
         if metrics_out is not None:
             metrics_out.append(
                 {
@@ -186,6 +195,32 @@ def connected_components(
         return n_changed, int(row[1] or 0)
 
     n_changed, n_vertices = probe(labels, -1, "warm")
+    # Narrow the loop's working set to int32 when every vertex id fits
+    # (doc_id <= cluster_id bounds: labels are mins of ids). The edge
+    # and label tables are re-materialized/probed every round, so at a
+    # 2-core vs 8-core pinning the loop's per-core DRAM share is the
+    # scaling bound — halving bytes per row halves the traffic both
+    # legs move. One extra pass re-pins the edge table narrow; the
+    # label cast fuses into the next round's plan. Ids outside int32
+    # (hash-derived or 10^12-scale corpora) keep the 64-bit path; the
+    # output is cast back to the input id type either way.
+    out_type = dict(edges.dtypes)[src]
+    narrowed = (
+        n_changed > 0  # a converged warm start never re-reads the tables
+        and id_bounds[0] is not None
+        and -(2**31) <= int(id_bounds[0])
+        and int(id_bounds[1]) < 2**31
+        and out_type in ("bigint", "int")
+    )
+    if narrowed:
+        e = _truncate_lineage(
+            e.select(F.col("a").cast("int"), F.col("b").cast("int"))
+        )
+        labels = labels.select(
+            F.col("doc_id").cast("int"),
+            F.col("cluster_id").cast("int"),
+            "changed",
+        )
     streak = 0
     for it in range(cfg.cc_max_iterations):
         if n_changed == 0:
@@ -324,7 +359,10 @@ def connected_components(
         # the checkpoint blocks the next round reads.
         labels = _truncate_lineage(labels, lazy_ok=True)
         n_changed, n_vertices = probe(labels, it, mode)
-    return labels.select("doc_id", "cluster_id")
+    return labels.select(
+        F.col("doc_id").cast(out_type).alias("doc_id"),
+        F.col("cluster_id").cast(out_type).alias("cluster_id"),
+    )
 
 
 def assign_clusters(
@@ -333,10 +371,23 @@ def assign_clusters(
     metrics_out: list | None = None,
 ) -> DataFrame:
     """Every doc gets a cluster_id (its own id when untouched by any edge)
-    and is_representative (deterministic min-doc_id rule)."""
+    and is_representative (deterministic min-doc_id rule).
+
+    Join strategy: docs only need the comp rows whose cluster_id
+    differs from the vertex id — vertices that ARE their component min
+    (and docs outside the graph) coalesce to their own id either way.
+    That "moved" subset is counted (comp is pinned by the CC loop, so
+    the count is a cheap scan) and broadcast when it fits
+    (``cfg.assign_bcast_max``), keeping the corpus-sized docs scan
+    map-side instead of shuffling it on the join key."""
     comp = connected_components(edges, cfg, metrics_out=metrics_out)
+    moved = comp.filter(F.col("cluster_id") != F.col("doc_id")).withColumnRenamed(
+        "doc_id", id_col
+    )
+    if moved.count() <= cfg.assign_bcast_max:
+        moved = F.broadcast(moved)
     return (
-        docs.join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        docs.join(moved, id_col, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
         .withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
     )
@@ -385,9 +436,18 @@ def assign_clusters_via_labels(
     docs-join-back (a full sort-merge join that only re-discovers rows
     the labels table already enumerates) is skipped entirely."""
     comp = connected_components(near_edges, cfg, metrics_out=metrics_out)
-    comp_k = comp.select(
+    # Only keepers whose component min DIFFERS from themselves matter:
+    # a quiescent keeper (or one outside the near graph) coalesces to
+    # itself. The moved subset is counted off comp's pinned blocks and
+    # broadcast when it fits (cfg.assign_bcast_max) so the corpus-sized
+    # labels table is never shuffled on the join key — the assign step
+    # becomes one map-side pass (this join was the worst-scaling piece
+    # of the CC stage: a 5M x ~3M shuffle join at bench scale).
+    comp_k = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias("keeper"), F.col("cluster_id").alias("_comp_min")
     )
+    if comp_k.count() <= cfg.assign_bcast_max:
+        comp_k = F.broadcast(comp_k)
     lab = (
         labels.select(F.col(id_col), "keeper")
         .join(comp_k, "keeper", "left")

@@ -256,3 +256,33 @@ def test_assign_via_labels_docs_none_matches_docs_join(spark):
         for r in CC.assign_clusters_via_labels(None, labels, near_df).collect()
     }
     assert without == with_docs
+
+
+def test_cc_ids_beyond_int32_stay_64bit_and_correct(spark):
+    """The int32 loop-narrowing must not engage when any vertex id is
+    outside int32 (hash-derived / 10^12-scale ids); labels stay exact
+    and the output keeps the input id type."""
+    big = 3_000_000_000  # > 2^31 - 1
+    edges = [(big + 1, big + 2), (big + 2, big + 3), (5, 6), (big + 10, 7)]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in CC.connected_components(df).collect()
+    }
+    assert got == {
+        big + 1: big + 1, big + 2: big + 1, big + 3: big + 1,
+        5: 5, 6: 5, big + 10: 7, 7: 7,
+    }
+    out = CC.connected_components(df)
+    assert dict(out.dtypes) == {"doc_id": "bigint", "cluster_id": "bigint"}
+
+
+def test_cc_output_type_matches_input_even_when_narrowed(spark):
+    """Small ids take the int32 loop internally but the contract type
+    (input id type) is restored at the boundary."""
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src_id long, dst_id long")
+    out = CC.connected_components(df)
+    assert dict(out.dtypes) == {"doc_id": "bigint", "cluster_id": "bigint"}
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == {
+        1: 1, 2: 1, 3: 1
+    }
