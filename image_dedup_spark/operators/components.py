@@ -27,6 +27,7 @@ cluster localCheckpoint blocks are lost with an executor.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pandas as pd
@@ -159,6 +160,7 @@ def connected_components(
     )
 
     id_bounds: list = []
+    wall_anchor = [time.monotonic()]
 
     def probe(lab: DataFrame, it: int, mode: str) -> tuple[int, int]:
         """One job: materializes any pending lazy checkpoints in lab's
@@ -186,12 +188,17 @@ def connected_components(
                 {
                     "iteration": it,
                     "seconds": round(time.monotonic() - t0, 3),
+                    # wall since the previous probe entry: captures the
+                    # round's UNTIMED eager work (offers materialization,
+                    # broadcast-gate counts) the agg timer alone misses
+                    "round_wall": round(time.monotonic() - wall_anchor[0], 3),
                     "label_sum": str(row[2]),
                     "changed": n_changed,
                     "converged": n_changed == 0,
                     "mode": mode,
                 }
             )
+        wall_anchor[0] = time.monotonic()
         return n_changed, int(row[1] or 0)
 
     n_changed, n_vertices = probe(labels, -1, "warm")
@@ -206,21 +213,35 @@ def connected_components(
     # output is cast back to the input id type either way.
     out_type = dict(edges.dtypes)[src]
     narrowed = (
-        n_changed > 0  # a converged warm start never re-reads the tables
+        os.environ.get("SPARK_GRAFT_CC_NARROW", "1") == "1"
+        and n_changed > 0  # a converged warm start never re-reads the tables
         and id_bounds[0] is not None
         and -(2**31) <= int(id_bounds[0])
         and int(id_bounds[1]) < 2**31
         and out_type in ("bigint", "int")
     )
     if narrowed:
+        t0 = time.monotonic()
         e = _truncate_lineage(
             e.select(F.col("a").cast("int"), F.col("b").cast("int"))
         )
+        e.count()  # eager: the repin cost lands in this metric, not a round's
         labels = labels.select(
             F.col("doc_id").cast("int"),
             F.col("cluster_id").cast("int"),
             "changed",
         )
+        if metrics_out is not None:
+            metrics_out.append(
+                {
+                    "iteration": -1,
+                    "seconds": round(time.monotonic() - t0, 3),
+                    "label_sum": None,
+                    "changed": n_changed,
+                    "converged": False,
+                    "mode": "narrow_repin",
+                }
+            )
     streak = 0
     for it in range(cfg.cc_max_iterations):
         if n_changed == 0:
@@ -318,8 +339,20 @@ def connected_components(
             mode = "frontier"
             streak += 1
         else:
-            # ---- full round: offer every neighbor label --------------
-            nbr = e.join(base, e.b == base.doc_id).select(
+            # ---- full round: offer neighbor labels -------------------
+            # Offers only need to come from vertices whose label CHANGED
+            # last round — the same monotonicity argument as frontier
+            # rounds (an unchanged neighbor's label was folded into its
+            # neighbors whenever it last changed), applied to the full
+            # shuffle shape: the e-join's probe side shrinks to the
+            # changed subset (48% of vertices after a typical warm
+            # start, and falling every round) while the groupBy still
+            # carries every vertex's self row, so the fixpoint test
+            # stays exact.
+            nbr = e.join(
+                labels.filter("changed").select("doc_id", "cluster_id"),
+                e.b == F.col("doc_id"),
+            ).select(
                 F.col("a").alias("doc_id"),
                 "cluster_id",
                 F.lit(False).alias("is_self"),
@@ -357,8 +390,12 @@ def connected_components(
         # Lazy checkpoint + probe = ONE job per barrier: the probe's
         # aggregation computes the round's labels, persisting them as
         # the checkpoint blocks the next round reads.
+        t_ckpt = time.monotonic()
         labels = _truncate_lineage(labels, lazy_ok=True)
+        ckpt_wall = round(time.monotonic() - t_ckpt, 3)
         n_changed, n_vertices = probe(labels, it, mode)
+        if metrics_out is not None:
+            metrics_out[-1]["ckpt_wall"] = ckpt_wall
     return labels.select(
         F.col("doc_id").cast(out_type).alias("doc_id"),
         F.col("cluster_id").cast(out_type).alias("cluster_id"),
@@ -384,7 +421,10 @@ def assign_clusters(
     moved = comp.filter(F.col("cluster_id") != F.col("doc_id")).withColumnRenamed(
         "doc_id", id_col
     )
-    if moved.count() <= cfg.assign_bcast_max:
+    if (
+        os.environ.get("SPARK_GRAFT_ASSIGN_BCAST", "1") == "1"
+        and moved.count() <= cfg.assign_bcast_max
+    ):
         moved = F.broadcast(moved)
     return (
         docs.join(moved, id_col, "left")
@@ -446,7 +486,10 @@ def assign_clusters_via_labels(
     comp_k = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias("keeper"), F.col("cluster_id").alias("_comp_min")
     )
-    if comp_k.count() <= cfg.assign_bcast_max:
+    if (
+        os.environ.get("SPARK_GRAFT_ASSIGN_BCAST", "1") == "1"
+        and comp_k.count() <= cfg.assign_bcast_max
+    ):
         comp_k = F.broadcast(comp_k)
     lab = (
         labels.select(F.col(id_col), "keeper")
